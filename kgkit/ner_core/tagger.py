@@ -1,0 +1,98 @@
+"""Deterministic gazetteer "model": per-subtoken BIO tags for one slice.
+
+Plays the role of the reference's AutoModelForTokenClassification forward
+pass + argmax decode (nerblackbox/api/model.py:464-505).  Instead of
+transformer logits (torch is unavailable here) it assigns tags by greedy
+longest-match of reconstructed words against a fixed gazetteer — a
+perfectly deterministic stand-in that keeps every downstream
+post-processing code path identical (SURVEY.md §7.2.6).
+
+Like the real model it sees ONLY the subtoken sequence of one slice: words
+are reconstructed from '##' continuations, matched left-to-right with
+longest-phrase-first precedence, and the word's tag is emitted on each of
+its subtokens (the pipeline keeps the first subtoken's tag when merging,
+api/model.py:1224-1258).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from kgkit.ner_core.wordpiece import CLS, PAD, SEP, UNK
+
+# (phrase words) -> entity type; longest phrases win.  Second words of
+# bigrams never start another phrase, so greedy left-to-right matching is
+# exactly reproducible in SQL (see kgkit/sources/alias_dict.py and the
+# DuckDB oracles in __spark_entry__.py).
+DEFAULT_GAZETTEER: Dict[Tuple[str, ...], str] = {
+    ("hash", "join"): "OP",
+    ("table", "scan"): "OP",
+    ("sort", "merge"): "OP",
+    ("join",): "OP",
+    ("merge",): "OP",
+    ("spark",): "TECH",
+    ("stream",): "TECH",
+    ("vector",): "TECH",
+    ("customer",): "DIM",
+}
+
+
+class GazetteerTagger:
+    """Deterministic slice tagger with a gazetteer of 1- and 2-word phrases."""
+
+    def __init__(self, gazetteer: Optional[Dict[Tuple[str, ...], str]] = None):
+        self.gazetteer = dict(gazetteer) if gazetteer is not None else dict(DEFAULT_GAZETTEER)
+        self.max_phrase_len = max((len(k) for k in self.gazetteer), default=1)
+
+    def tag_slice(self, subtokens: Sequence[str]) -> List[str]:
+        """Per-subtoken tags for one [CLS]...[SEP][PAD]* slice."""
+        # group subtokens into words: a word starts at a non-'##' piece
+        words: List[str] = []
+        word_of_subtoken: List[int] = []  # subtoken index -> word index (-1 special)
+        for tok in subtokens:
+            if tok in (CLS, SEP, PAD):
+                word_of_subtoken.append(-1)
+            elif tok.startswith("##") and words:
+                words[-1] += tok[2:]
+                word_of_subtoken.append(len(words) - 1)
+            else:
+                words.append(UNK if tok == UNK else tok)
+                word_of_subtoken.append(len(words) - 1)
+
+        word_tags = self._tag_words(words)
+
+        return [
+            "O" if wi < 0 else word_tags[wi]
+            for wi in word_of_subtoken
+        ]
+
+    def _tag_words(self, words: List[str]) -> List[str]:
+        """Greedy left-to-right longest-match BIO tagging over words."""
+        tags = ["O"] * len(words)
+        i = 0
+        while i < len(words):
+            matched = False
+            for ln in range(min(self.max_phrase_len, len(words) - i), 0, -1):
+                phrase = tuple(w.lower() for w in words[i: i + ln])
+                etype = self.gazetteer.get(phrase)
+                if etype is not None:
+                    tags[i] = f"B-{etype}"
+                    for k in range(1, ln):
+                        tags[i + k] = f"I-{etype}"
+                    i += ln
+                    matched = True
+                    break
+            if not matched:
+                i += 1
+        return tags
+
+
+_DEFAULT: Optional[GazetteerTagger] = None
+
+
+def default_gazetteer() -> GazetteerTagger:
+    """Process-wide singleton (executor-local model cache, SURVEY §4.3.4)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = GazetteerTagger()
+    return _DEFAULT

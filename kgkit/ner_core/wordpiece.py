@@ -1,0 +1,124 @@
+"""Deterministic WordPiece tokenizer (no network, no transformers dep).
+
+Stands in for the HuggingFace fast tokenizer of the reference
+(nerblackbox/modules/ner_training/data_preprocessing/tools/
+input_examples_to_tensors.py:110-119): greedy longest-prefix WordPiece with
+'##' continuations, [UNK] for unmatchable words, fixed-length slices with
+[CLS]/[SEP]/[PAD] and overflow (stride 0).  The default vocabulary contains
+all printable ASCII characters (plus their '##' continuations) and the
+closed corpus vocabulary, so ASCII words always tokenize and any word with
+a non-ASCII character maps to [UNK] — exercising the reference's
+restore_unknown_tokens path (api/model.py:1261-1504).
+"""
+
+from __future__ import annotations
+
+import string as _string
+from typing import Dict, List, Optional, Sequence, Tuple
+
+PAD, UNK, CLS, SEP = "[PAD]", "[UNK]", "[CLS]", "[SEP]"
+SPECIAL_TOKENS = [CLS, SEP, PAD]
+
+# closed vocabulary of the synthetic web-page corpus (TESTDATA.md documents
+# tables) plus a few common english words; keeps most words whole-piece.
+_CORPUS_WORDS = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "join", "batch", "window", "spark", "order", "data", "column",
+    "small", "line", "customer", "query", "merge", "sort", "group", "big",
+    "stream", "vector", "filter", "the", "a", "dup",
+    "finns", "i", "stockholm", "center", "ai",
+]
+
+
+def _default_vocab() -> Dict[str, int]:
+    vocab: Dict[str, int] = {}
+
+    def add(tok: str) -> None:
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+
+    for tok in SPECIAL_TOKENS + [UNK]:
+        add(tok)
+    for ch in _string.printable:
+        if not ch.isspace():
+            add(ch)
+            add(f"##{ch}")
+    for word in _CORPUS_WORDS:
+        add(word)
+        add(f"##{word}")
+    return vocab
+
+
+class WordPieceTokenizer:
+    """Greedy longest-match WordPiece over a fixed vocabulary."""
+
+    tokenizer_type = "WordPiece"
+    do_lower_case = False
+
+    def __init__(
+        self,
+        vocab: Optional[Dict[str, int]] = None,
+        max_seq_length: int = 1024,
+        max_pieces_per_word: int = 100,
+    ):
+        self.vocab = vocab if vocab is not None else _default_vocab()
+        self.max_seq_length = max_seq_length
+        self.max_pieces_per_word = max_pieces_per_word
+        self.special_tokens = list(SPECIAL_TOKENS)
+
+    # -- word -> pieces -----------------------------------------------------
+    def tokenize_word(self, word: str) -> List[str]:
+        """Greedy longest-prefix match; whole word -> [UNK] on any failure."""
+        pieces: List[str] = []
+        pos = 0
+        while pos < len(word):
+            if len(pieces) >= self.max_pieces_per_word:
+                return [UNK]
+            end = len(word)
+            piece = None
+            while end > pos:
+                cand = word[pos:end]
+                if pos > 0:
+                    cand = f"##{cand}"
+                if cand in self.vocab:
+                    piece = cand
+                    break
+                end -= 1
+            if piece is None:
+                return [UNK]
+            pieces.append(piece)
+            pos = end
+        return pieces if pieces else [UNK]
+
+    # -- words -> fixed-length slices ----------------------------------------
+    def encode_words(self, words: Sequence[str]) -> List[List[str]]:
+        """Tokenize pre-split words into >=1 fixed-length slices.
+
+        Each slice is [CLS] + pieces + [SEP] (+ [PAD] to max_seq_length);
+        overflow continues in the next slice with no stride, mirroring the
+        reference's return_overflowing_tokens=True, stride=0 encoding.
+        """
+        flat: List[str] = []
+        for w in words:
+            flat.extend(self.tokenize_word(w))
+        body = self.max_seq_length - 2
+        slices: List[List[str]] = []
+        if not flat:
+            flat = []  # empty text still produces one (empty) slice
+        for off in range(0, max(len(flat), 1), body):
+            chunk = flat[off: off + body]
+            padded = [CLS] + chunk + [SEP]
+            padded += [PAD] * (self.max_seq_length - len(padded))
+            slices.append(padded)
+        return slices
+
+
+_DEFAULT: Optional[WordPieceTokenizer] = None
+
+
+def default_tokenizer() -> WordPieceTokenizer:
+    """Process-wide singleton (executor-local cache, SURVEY §4.3.4)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = WordPieceTokenizer()
+    return _DEFAULT
