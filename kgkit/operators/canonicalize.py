@@ -1,0 +1,94 @@
+"""Stage 3 — canonicalization: connected components over entity synonymy.
+
+SURVEY §2.9 J3 / §4.3.1: entities connected by shared aliases or synonym
+edges collapse to one canonical id (the minimum entity id in the
+component, lexicographic-numeric on 'Q<n>').
+
+Implementation: iterative min-label propagation as DataFrame self-joins —
+the one genuinely iterative operator in the pipeline.  Each round:
+
+    label(v) <- min(label(v), min over neighbours u of label(u))
+
+with ``localCheckpoint()`` per iteration to cut the lineage chain
+(otherwise the plan doubles every round), and convergence detected by a
+changed-row count.  Label propagation converges in <= diameter rounds
+(O(log n) with doubling variants; plain propagation is fine at the
+entity-graph scale, which is orders of magnitude smaller than the page
+corpus — the giant side of the data never enters this loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _entity_key(col):
+    """Sort key for 'Q<n>' ids: numeric part as int."""
+    return F.substring(col, 2, 10).cast("int")
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges(src, dst) undirected -> components(entity_id, canonical_id).
+
+    canonical_id = the member with the smallest numeric part.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # min label among each node's neighbours
+        neighbour_min = (
+            sym.join(labels, sym.dst == labels.node, "inner")
+            .groupBy(sym.src.alias("node2"))
+            .agg(F.min_by("label", _entity_key(F.col("label"))).alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbour_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("nmin").isNotNull()
+                    & (_entity_key(F.col("nmin")) < _entity_key(F.col("label"))),
+                    F.col("nmin"),
+                ).otherwise(F.col("label")).alias("label"),
+                (F.col("nmin").isNotNull()
+                 & (_entity_key(F.col("nmin")) < _entity_key(F.col("label")))
+                 ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.select("node", "label")
+        if n_changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias("entity_id"), F.col("label").alias("canonical_id")
+    )
+
+
+def canonical_map(spark, edges: DataFrame = None) -> DataFrame:
+    """entity_id -> canonical_id for ALL entities (singletons map to
+    themselves).  Small by construction — safe to broadcast."""
+    from kgkit.sources.alias_dict import alias_df, edges_df
+
+    if edges is None:
+        edges = edges_df(spark)
+    comp = connected_components(edges)
+    all_entities = alias_df(spark).select("entity_id").distinct()
+    return (
+        all_entities.join(comp, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.coalesce("canonical_id", "entity_id").alias("canonical_id"),
+        )
+    )

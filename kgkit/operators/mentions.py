@@ -1,0 +1,104 @@
+"""Stage 1 — mention detection: pages -> mentions via Arrow-vectorized UDF.
+
+Distributed form of the reference's Model.predict span pipeline
+(nerblackbox/api/model.py:309-544, SURVEY §3.1): one ``mapInPandas``
+over the narrow (url, text) projection; each Arrow batch runs the full
+tokenize -> tag -> merge -> restore -> entity-merge lifecycle from
+kgkit.ner_core and explodes to one output row per mention.
+
+Scale properties:
+  * embarrassingly parallel — NO shuffle: the plan is scan -> project ->
+    MapInPandas -> (sink).  A document never spans rows, so all sequence
+    logic stays inside the batch.
+  * tokenizer/tagger are process-wide singletons (executor-local model
+    cache, SURVEY §4.3.4) — loaded once per python worker, not per batch.
+  * char offsets are INTEGER columns here; the string-typed form only
+    exists at the reference-parity boundary (api/model.py:1507-1528).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MENTIONS_SCHEMA = (
+    "url string, mention_id int, char_start int, char_end int, "
+    "surface string, tag string"
+)
+
+
+def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # import inside the worker so the UDF pickles by reference only
+    from kgkit.ner_core import predict
+    from kgkit.ner_core.tagger import default_gazetteer
+    from kgkit.ner_core.wordpiece import default_tokenizer
+
+    tokenizer = default_tokenizer()   # executor-local singletons
+    tagger = default_gazetteer()
+
+    for pdf in batches:
+        out = {
+            "url": [], "mention_id": [], "char_start": [],
+            "char_end": [], "surface": [], "tag": [],
+        }
+        results = predict(
+            pdf["text"].tolist(),
+            level="entity",
+            autocorrect=True,
+            tokenizer=tokenizer,
+            tagger=tagger,
+        )
+        for url, records in zip(pdf["url"].tolist(), results):
+            for mid, r in enumerate(records):
+                out["url"].append(url)
+                out["mention_id"].append(mid)
+                out["char_start"].append(int(r["char_start"]))
+                out["char_end"].append(int(r["char_end"]))
+                out["surface"].append(r["token"])
+                out["tag"].append(r["tag"])
+        yield pd.DataFrame(out)
+
+
+def detect_mentions(pages: DataFrame) -> DataFrame:
+    """pages(url, text, ...) -> mentions(url, mention_id, char_start,
+    char_end, surface, tag), one row per extracted entity."""
+    narrow = pages.select("url", "text")
+    return narrow.mapInPandas(_detect_batches, schema=MENTIONS_SCHEMA)
+
+
+def word_tags(pages: DataFrame) -> DataFrame:
+    """Word-level variant (level='word', Model.predict level parity):
+    one row per word with its BIO tag — feeds the metrics engine."""
+    import pandas as _pd
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kgkit.ner_core import predict
+        from kgkit.ner_core.tagger import default_gazetteer
+        from kgkit.ner_core.wordpiece import default_tokenizer
+
+        tokenizer = default_tokenizer()
+        tagger = default_gazetteer()
+        for pdf in batches:
+            out = {"url": [], "pos": [], "char_start": [], "char_end": [],
+                   "word": [], "tag": []}
+            results = predict(
+                pdf["text"].tolist(), level="word",
+                tokenizer=tokenizer, tagger=tagger,
+            )
+            for url, records in zip(pdf["url"].tolist(), results):
+                for pos, r in enumerate(records):
+                    out["url"].append(url)
+                    out["pos"].append(pos)
+                    out["char_start"].append(int(r["char_start"]))
+                    out["char_end"].append(int(r["char_end"]))
+                    out["word"].append(r["token"])
+                    out["tag"].append(r["tag"])
+            yield _pd.DataFrame(out)
+
+    schema = ("url string, pos int, char_start int, char_end int, "
+              "word string, tag string")
+    return pages.select("url", "text").mapInPandas(_batches, schema=schema)

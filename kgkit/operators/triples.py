@@ -1,0 +1,91 @@
+"""Stage 4 — triple materialization with url-hash partitioning + skew salting.
+
+SURVEY §2.9 J4 / §3.4.  Two deterministic predicate rules over linked,
+canonicalized mentions:
+
+  * (url, 'mentions', entity)            — page-level, one per distinct
+                                           (url, canonical entity)
+  * (entity_i, 'cooccurs_with', entity_j) — consecutive linked mentions
+                                           within a page, ordered by
+                                           char_start (window lead, no
+                                           self-join: one shuffle by url)
+
+Writes are partitioned by ``bucket = pmod(xxhash64(url), n_buckets)``.
+Hub entities (the Zipf head — 'join'/Q5 appears in most pages) would
+skew any downstream groupBy(obj); ``salted_entity_counts`` shows the
+explicit two-phase salt -> partial agg -> final agg pattern the north
+rule requires (AQE alone is not accepted as the answer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assemble_triples(linked: DataFrame, canon: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """linked mentions + canonical map -> triples(subj, pred, obj, url,
+    char_start, char_end, bucket)."""
+    m = (
+        linked.join(F.broadcast(canon), "entity_id", "left")
+        .withColumn("entity", F.coalesce("canonical_id", "entity_id"))
+    )
+
+    page_triples = (
+        m.select("url", "entity", "char_start", "char_end")
+        .groupBy("url", "entity")
+        .agg(
+            F.min("char_start").alias("char_start"),
+            F.min("char_end").alias("char_end"),
+        )
+        .select(
+            F.col("url").alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.col("entity").alias("obj"),
+            "url", "char_start", "char_end",
+        )
+    )
+
+    w = Window.partitionBy("url").orderBy("char_start", "mention_id")
+    cooccur = (
+        m.withColumn("next_entity", F.lead("entity").over(w))
+        .withColumn("next_start", F.lead("char_start").over(w))
+        .filter(F.col("next_entity").isNotNull())
+        .select(
+            F.col("entity").alias("subj"),
+            F.lit("cooccurs_with").alias("pred"),
+            F.col("next_entity").alias("obj"),
+            "url",
+            "char_start",
+            F.col("next_start").alias("char_end"),
+        )
+    )
+
+    return page_triples.unionByName(cooccur).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def write_triples(triples: DataFrame, path: str) -> None:
+    """Partitioned sink: url-hash buckets keep any single entity's rows
+    spread across files (hub entities cannot concentrate in one file)."""
+    triples.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def salted_entity_counts(triples: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Triples-per-entity with EXPLICIT skew salting (north-rule demo).
+
+    Phase 1 shuffles on (obj, salt) — the hub entity's rows split across
+    ``n_salts`` reducers for the expensive partial aggregation; phase 2
+    combines the tiny per-salt partials.  Equivalent to a map-side
+    combine but robust even when one key dominates every input partition.
+    """
+    salted = triples.withColumn(
+        "salt", F.pmod(F.xxhash64("url", "char_start"), F.lit(n_salts))
+    )
+    partial = salted.groupBy("obj", "salt").agg(F.count("*").alias("c"))
+    return (
+        partial.groupBy("obj")
+        .agg(F.sum("c").alias("n_triples"))
+        .orderBy(F.desc("n_triples"), F.asc("obj"))
+    )
