@@ -1,0 +1,368 @@
+"""DuckDB oracle SQL for every SQL-expressible query in kgkit.queries.
+
+The driver runs these against pre-registered views (region nation customer
+supplier part orders lineitem events documents embeddings) at sf=0.01 and
+compares row count + schema + order-insensitive value hash with the Spark
+result.  Column names/types must match the Spark DataFrames exactly.
+
+The mention CTE mirrors the deterministic gazetteer pipeline (greedy
+longest-match, kgkit/ner_core/tagger.py): with bigram first-words
+{hash,table,sort} disjoint from second-words {join,scan,merge} and from the
+single-word aliases, greedy left-to-right matching reduces to the purely
+relational rules encoded here — that is what makes the full NER UDF
+pipeline checkable in ANSI SQL.
+"""
+
+from kgkit.sources.alias_dict import alias_values_sql, edges_values_sql
+
+# ---------------------------------------------------------------------------
+# shared CTE bodies
+# ---------------------------------------------------------------------------
+
+# words of each document with char offsets (whitespace tokenization == the
+# pretokenizer on this corpus: texts are single-spaced [a-z ] only)
+WORDS_CTE = """
+words AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+    FROM documents
+),
+pw AS (
+    SELECT doc_id, word, pos,
+           CAST(COALESCE(sum(len(word) + 1) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS char_start,
+           lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS next_word,
+           lag(word)  OVER (PARTITION BY doc_id ORDER BY pos) AS prev_word
+    FROM words
+)
+"""
+
+# gazetteer marks: bigram starts / continuations / single-word matches
+MARKED_CTE = """
+marked AS (
+    SELECT *,
+        CASE WHEN (word = 'hash'  AND next_word = 'join')
+              OR  (word = 'table' AND next_word = 'scan')
+              OR  (word = 'sort'  AND next_word = 'merge')
+             THEN 'OP' END AS bi_tag,
+        CASE WHEN (prev_word = 'hash'  AND word = 'join')
+              OR  (prev_word = 'table' AND word = 'scan')
+              OR  (prev_word = 'sort'  AND word = 'merge')
+             THEN TRUE ELSE FALSE END AS bi_cont,
+        CASE word WHEN 'join' THEN 'OP' WHEN 'merge' THEN 'OP'
+                  WHEN 'spark' THEN 'TECH' WHEN 'stream' THEN 'TECH'
+                  WHEN 'vector' THEN 'TECH' WHEN 'customer' THEN 'DIM'
+        END AS single_tag
+    FROM pw
+)
+"""
+
+MENTIONS_CTE = (
+    WORDS_CTE + "," + MARKED_CTE + """,
+raw_mentions AS (
+    SELECT doc_id, char_start,
+           char_start + len(word) + 1 + len(next_word) AS char_end,
+           word || ' ' || next_word AS surface,
+           bi_tag AS tag
+    FROM marked WHERE bi_tag IS NOT NULL
+    UNION ALL
+    SELECT doc_id, char_start,
+           char_start + len(word) AS char_end,
+           word AS surface,
+           single_tag AS tag
+    FROM marked WHERE single_tag IS NOT NULL AND bi_tag IS NULL AND NOT bi_cont
+),
+mentions AS (
+    SELECT 'doc://' || doc_id AS url,
+           doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY char_start) - 1
+                AS BIGINT) AS mention_id,
+           CAST(char_start AS BIGINT) AS char_start,
+           CAST(char_end AS BIGINT) AS char_end,
+           surface, tag
+    FROM raw_mentions
+)
+"""
+)
+
+# linking: broadcast-dictionary join + cosine rerank (double precision)
+LINKED_CTE = MENTIONS_CTE + f""",
+alias_dict AS (SELECT * FROM {alias_values_sql()}),
+cands AS (
+    SELECT m.*, a.entity_id, a.entity_num, a.prior
+    FROM mentions m JOIN alias_dict a ON lower(m.surface) = a.alias
+),
+scored AS (
+    SELECT c.*,
+           CASE WHEN pe.embedding IS NOT NULL AND ee.embedding IS NOT NULL
+                THEN round(list_dot_product(CAST(pe.embedding AS DOUBLE[]),
+                                            CAST(ee.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(pe.embedding AS DOUBLE[]),
+                                              CAST(pe.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(ee.embedding AS DOUBLE[]),
+                                              CAST(ee.embedding AS DOUBLE[])))), 6)
+                ELSE 0.0 END AS link_score
+    FROM cands c
+    LEFT JOIN embeddings pe ON pe.vec_id = c.doc_id
+    LEFT JOIN embeddings ee ON ee.vec_id = c.entity_num
+),
+linked AS (
+    SELECT * FROM (
+        SELECT s.*, row_number() OVER (
+            PARTITION BY url, mention_id
+            ORDER BY link_score DESC, prior DESC, entity_id ASC) AS rnk
+        FROM scored s
+    ) WHERE rnk = 1
+)
+"""
+
+# canonicalization: transitive closure over synonym edges, min numeric id
+CANON_CTE = f"""
+edges AS (SELECT * FROM {edges_values_sql()}),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(a, b) AS (
+    SELECT src, dst FROM und
+    UNION
+    SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+),
+members AS (
+    SELECT a, b FROM reach
+    UNION
+    SELECT DISTINCT a, a FROM reach
+),
+comp AS (
+    SELECT a AS entity_id,
+           'Q' || min(CAST(substr(b, 2) AS INT)) AS canonical_id
+    FROM members GROUP BY a
+),
+canon AS (
+    SELECT e.entity_id, COALESCE(c.canonical_id, e.entity_id) AS canonical_id
+    FROM (SELECT DISTINCT entity_id FROM {alias_values_sql()}) e
+    LEFT JOIN comp c ON c.entity_id = e.entity_id
+)
+"""
+
+TRIPLES_CTE = LINKED_CTE + "," + CANON_CTE + """,
+lm AS (
+    SELECT l.*, COALESCE(c.canonical_id, l.entity_id) AS entity
+    FROM linked l LEFT JOIN canon c ON c.entity_id = l.entity_id
+),
+page_triples AS (
+    SELECT url AS subj, 'mentions' AS pred, entity AS obj, url,
+           min(char_start) AS char_start, min(char_end) AS char_end
+    FROM lm GROUP BY url, entity
+),
+cooccur AS (
+    SELECT entity AS subj, 'cooccurs_with' AS pred,
+           lead(entity) OVER w AS obj, url,
+           char_start, lead(char_start) OVER w AS char_end
+    FROM lm
+    WINDOW w AS (PARTITION BY url ORDER BY char_start, mention_id)
+    QUALIFY lead(entity) OVER w IS NOT NULL
+),
+triples AS (
+    SELECT subj, pred, obj, url, char_start, char_end FROM page_triples
+    UNION ALL
+    SELECT subj, pred, obj, url, char_start, char_end FROM cooccur
+)
+"""
+
+# ---------------------------------------------------------------------------
+# oracle statements, keyed like kgkit.queries.QUERIES
+# ---------------------------------------------------------------------------
+
+ORACLES = {
+    "kg_mentions": f"""
+        WITH {MENTIONS_CTE}
+        SELECT url, mention_id, char_start, char_end, surface, tag FROM mentions
+    """,
+    "kg_linked": f"""
+        WITH {LINKED_CTE}
+        SELECT url, mention_id, char_start, char_end, surface, tag,
+               entity_id, prior
+        FROM linked
+    """,
+    "kg_canonical": f"""
+        WITH RECURSIVE {CANON_CTE}
+        SELECT entity_id, canonical_id FROM canon
+    """,
+    "kg_triples": f"""
+        WITH RECURSIVE {TRIPLES_CTE}
+        SELECT subj, pred, obj, url, char_start, char_end FROM triples
+    """,
+    "kg_entity_counts": f"""
+        WITH RECURSIVE {TRIPLES_CTE}
+        SELECT obj, CAST(count(*) AS BIGINT) AS n_triples
+        FROM triples GROUP BY obj
+    """,
+    "word_tags_bio": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE}
+        SELECT 'doc://' || doc_id AS url,
+               CAST(pos - 1 AS BIGINT) AS pos,
+               word,
+               CASE WHEN bi_tag IS NOT NULL THEN 'B-' || bi_tag
+                    WHEN bi_cont THEN 'I-' ||
+                        CASE WHEN prev_word = 'hash'  AND word = 'join'  THEN 'OP'
+                             WHEN prev_word = 'table' AND word = 'scan'  THEN 'OP'
+                             WHEN prev_word = 'sort'  AND word = 'merge' THEN 'OP' END
+                    WHEN single_tag IS NOT NULL THEN 'B-' || single_tag
+                    ELSE 'O' END AS tag
+        FROM marked
+    """,
+    "label_set": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE},
+        tags AS (
+            SELECT DISTINCT
+               CASE WHEN bi_tag IS NOT NULL THEN 'B-' || bi_tag
+                    WHEN bi_cont THEN 'I-OP'
+                    WHEN single_tag IS NOT NULL THEN 'B-' || single_tag
+                    ELSE 'O' END AS tag
+            FROM marked
+        )
+        SELECT tag FROM tags
+    """,
+    "dataset_stats": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE},
+        plain AS (
+            SELECT CASE WHEN bi_tag IS NOT NULL THEN bi_tag
+                        WHEN bi_cont THEN 'OP'
+                        WHEN single_tag IS NOT NULL THEN single_tag
+                        ELSE 'O' END AS tag
+            FROM marked
+        )
+        SELECT tag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM plain), 6)
+                   AS frac_with_o,
+               CASE WHEN tag = 'O' THEN -1.0
+                    ELSE round(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                                           FROM plain WHERE tag != 'O'), 6)
+               END AS frac_without_o
+        FROM plain GROUP BY tag
+    """,
+    "split_phases": """
+        SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                    WHEN doc_id % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS phase,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1
+    """,
+    "lang_id": """
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w IN ('the', 'a'))) /
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN stop_ratio > 0.03 THEN 'en' ELSE 'other' END AS pred_lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1, 2
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(text) AS BIGINT) AS n_chars,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct_words
+        FROM documents
+    """,
+    "quality_score": """
+        WITH q AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w IN ('the', 'a'))) AS n_stop,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct
+            FROM documents
+        )
+        SELECT doc_id,
+               round(n_stop / CAST(n_words AS DOUBLE), 6) AS stopword_ratio,
+               round(n_distinct / CAST(n_words AS DOUBLE), 6) AS ttr,
+               CAST(CASE WHEN n_words >= 30
+                          AND n_distinct / CAST(n_words AS DOUBLE) > 0.3
+                         THEN 1 ELSE 0 END AS INT) AS keep
+        FROM q
+    """,
+    "doc_fingerprint": """
+        WITH shingles AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER w || ' ' ||
+                   lead(word, 2) OVER w AS shingle
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            )
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(word, 2) OVER w IS NOT NULL
+        )
+        SELECT doc_id, min(md5(shingle)) AS fingerprint
+        FROM shingles GROUP BY doc_id
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "ann_topk": """
+        WITH queries AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 10
+        ),
+        corpus AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id >= 10
+        ),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round(list_dot_product(qe, ce)
+                         / (sqrt(list_dot_product(qe, qe))
+                          * sqrt(list_dot_product(ce, ce))), 6) AS cos
+            FROM queries q CROSS JOIN corpus c
+        )
+        SELECT query_id, neighbor_id,
+               CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
+    """,
+}

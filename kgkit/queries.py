@@ -1,0 +1,278 @@
+"""Named queries — one per implemented operator family (SURVEY §2).
+
+Each entry takes (spark, sf_dir) and returns a DataFrame whose column
+names and types match the corresponding DuckDB oracle in kgkit.oracles.
+These back ``__spark_entry__.queries()`` (the driver's correctness gate)
+and bench.py (the throughput gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgkit.operators.canonicalize import canonical_map
+from kgkit.operators.linking import cosine, link_mentions
+from kgkit.operators.mentions import detect_mentions, word_tags
+from kgkit.operators.triples import assemble_triples, salted_entity_counts
+from kgkit.sources.pages import load_pages, pages_for_mentions
+
+
+def _pages(spark, sf_dir):
+    return pages_for_mentions(load_pages(spark, sf_dir))
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _mentions_q(spark, sf_dir):
+    m = detect_mentions(_pages(spark, sf_dir))
+    return m.select(
+        "url",
+        F.col("mention_id").cast("long").alias("mention_id"),
+        F.col("char_start").cast("long").alias("char_start"),
+        F.col("char_end").cast("long").alias("char_end"),
+        "surface", "tag",
+    )
+
+
+def _linked_q(spark, sf_dir):
+    linked = link_mentions(
+        detect_mentions(_pages(spark, sf_dir)), _embeddings(spark, sf_dir)
+    )
+    return linked.select(
+        "url",
+        F.col("mention_id").cast("long").alias("mention_id"),
+        F.col("char_start").cast("long").alias("char_start"),
+        F.col("char_end").cast("long").alias("char_end"),
+        "surface", "tag", "entity_id", "prior",
+    )
+
+
+def _canonical_q(spark, sf_dir):
+    return canonical_map(spark)
+
+
+def _triples_df(spark, sf_dir):
+    linked = link_mentions(
+        detect_mentions(_pages(spark, sf_dir)), _embeddings(spark, sf_dir)
+    )
+    return assemble_triples(linked, canonical_map(spark))
+
+
+def _triples_q(spark, sf_dir):
+    return _triples_df(spark, sf_dir).select(
+        "subj", "pred", "obj", "url",
+        F.col("char_start").cast("long").alias("char_start"),
+        F.col("char_end").cast("long").alias("char_end"),
+    )
+
+
+def _entity_counts_q(spark, sf_dir):
+    return salted_entity_counts(_triples_df(spark, sf_dir)).select(
+        "obj", F.col("n_triples").cast("long").alias("n_triples")
+    )
+
+
+def _word_tags_q(spark, sf_dir):
+    return word_tags(_pages(spark, sf_dir)).select(
+        "url", F.col("pos").cast("long").alias("pos"), "word", "tag"
+    )
+
+
+def _label_set_q(spark, sf_dir):
+    return _word_tags_q(spark, sf_dir).select("tag").distinct()
+
+
+def _dataset_stats_q(spark, sf_dir):
+    plain = _word_tags_q(spark, sf_dir).select(
+        F.regexp_replace("tag", "^[BILU]-", "").alias("tag")
+    )
+    counts = plain.groupBy("tag").agg(F.count("*").alias("n"))
+    total = plain.count()
+    total_ent = plain.filter(F.col("tag") != "O").count()
+    return counts.select(
+        "tag",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.lit(float(total)), 6).alias("frac_with_o"),
+        F.when(F.col("tag") == "O", F.lit(-1.0))
+        .otherwise(F.round(F.col("n") / F.lit(float(total_ent)), 6))
+        .alias("frac_without_o"),
+    )
+
+
+def _split_phases_q(spark, sf_dir):
+    """X1: deterministic contiguous-free hash split (SURVEY §2.7)."""
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.withColumn(
+            "phase",
+            F.when(F.col("doc_id") % 10 < 8, "train")
+            .when(F.col("doc_id") % 10 == 8, "val")
+            .otherwise("test"),
+        )
+        .groupBy("phase")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _lang_id_q(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    stop_ratio = F.expr(
+        "size(filter(split(text, ' '), w -> w IN ('the', 'a'))) "
+        "/ cast(size(split(text, ' ')) as double)"
+    )
+    return (
+        docs.withColumn(
+            "pred_lang", F.when(stop_ratio > 0.03, "en").otherwise("other")
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _token_count_q(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.expr("size(array_distinct(split(text, ' ')))").cast("long")
+        .alias("n_distinct_words"),
+    )
+
+
+def _quality_score_q(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    n_words = F.expr("size(split(text, ' '))")
+    n_stop = F.expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))")
+    n_distinct = F.expr("size(array_distinct(split(text, ' ')))")
+    ttr = n_distinct / n_words.cast("double")
+    return docs.select(
+        "doc_id",
+        F.round(n_stop / n_words.cast("double"), 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        F.when((n_words >= 30) & (ttr > 0.3), 1).otherwise(0)
+        .cast("int").alias("keep"),
+    )
+
+
+def _doc_fingerprint_q(spark, sf_dir):
+    """Winnowing-style fingerprint: min md5 over word 3-gram shingles —
+    pure column expressions, zero shuffle."""
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "array_min(transform(sequence(0, size(split(text,' ')) - 3), "
+            "i -> md5(concat_ws(' ', slice(split(text,' '), i + 1, 3)))))"
+        ).alias("fingerprint"),
+    )
+
+
+def _dedup_exact_q(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+    )
+
+
+def _events_hourly_q(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def _q1_q(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def _q3_q(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+def _ann_topk_q(spark, sf_dir):
+    """Brute-force cosine top-k (the exact baseline; the LSH-bucketed
+    scale path lives in kgkit/operators/similarity.py)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    scored = queries.crossJoin(corpus).select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+QUERIES = {
+    "kg_mentions": _mentions_q,
+    "kg_linked": _linked_q,
+    "kg_canonical": _canonical_q,
+    "kg_triples": _triples_q,
+    "kg_entity_counts": _entity_counts_q,
+    "word_tags_bio": _word_tags_q,
+    "label_set": _label_set_q,
+    "dataset_stats": _dataset_stats_q,
+    "split_phases": _split_phases_q,
+    "lang_id": _lang_id_q,
+    "token_count": _token_count_q,
+    "quality_score": _quality_score_q,
+    "doc_fingerprint": _doc_fingerprint_q,
+    "dedup_exact": _dedup_exact_q,
+    "events_hourly": _events_hourly_q,
+    "q1_pricing_summary": _q1_q,
+    "q3_shipping_priority": _q3_q,
+    "ann_topk": _ann_topk_q,
+}
