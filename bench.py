@@ -1,0 +1,103 @@
+"""Benchmark harness — the driver's throughput gate.
+
+Runs every headline query from kgkit.queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default
+32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"kg_triples": sec, ...}, "sf": 0.1, ...}
+
+Each query is fully executed via a noop-format write (all partitions
+computed, nothing collected to the driver).  Extra fields:
+``docs_per_sec`` (pages through the full 4-stage KG pipeline per
+second — the north-rule throughput number) and ``cpus``.
+
+Scaling-efficiency evidence (north rule: N vs 4N) lives in
+``tools/bench_scaling.py`` which reuses ``run_suite`` below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int, app: str = "kgkit-bench"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def _execute(df) -> None:
+    """Force full computation of every partition without driver collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_suite(spark, sf_dir: str, names=None) -> dict[str, float]:
+    from kgkit.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in names or QUERIES:
+        t0 = time.monotonic()
+        _execute(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+def pipeline_docs_per_sec(spark, sf_dir: str) -> float:
+    """Pages/sec through the full 4-stage pipeline (mentions -> link ->
+    canonicalize -> triples), end to end, no stage materialization."""
+    from kgkit.queries import QUERIES
+
+    pages_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = pages_df.count()
+    t0 = time.monotonic()
+    _execute(QUERIES["kg_triples"](spark, sf_dir))
+    wall = time.monotonic() - t0
+    return round(n_docs / wall, 2)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        # warm the JVM + python workers once (excluded from timings)
+        spark.range(1000).selectExpr("sum(id)").collect()
+        timings = run_suite(spark, sf_dir)
+        docs_per_sec = pipeline_docs_per_sec(spark, sf_dir)
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "kgkit_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "docs_per_sec": docs_per_sec,
+            "cpus": cpus,
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
