@@ -32,10 +32,27 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges(src, dst) undirected -> components(entity_id, canonical_id).
 
     canonical_id = the member with the smallest numeric part.
+
+    The loop's shuffle width is sized to the GRAPH, not the session
+    default: the entity graph is orders of magnitude smaller than the
+    page corpus, and running log(n) tiny iterations at the corpus's
+    shuffle width is pure scheduler overhead (measured: the loop at 32
+    shuffle partitions dominated the whole pipeline's wall clock).
+    ~100k edges per partition keeps each iteration a handful of tasks.
     """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    n_parts = max(1, min(64, n_edges // 100_000))
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    sym = (
+        edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(n_parts, "src")
+        .localCheckpoint()
+    )
 
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -44,45 +61,66 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint()
     )
 
-    for _ in range(max_iter):
-        # min label among each node's neighbours
-        neighbour_min = (
-            sym.join(labels, sym.dst == labels.node, "inner")
-            .groupBy(sym.src.alias("node2"))
-            .agg(F.min_by("label", _entity_key(F.col("label"))).alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbour_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.when(
-                    F.col("nmin").isNotNull()
-                    & (_entity_key(F.col("nmin")) < _entity_key(F.col("label"))),
-                    F.col("nmin"),
-                ).otherwise(F.col("label")).alias("label"),
-                (F.col("nmin").isNotNull()
-                 & (_entity_key(F.col("nmin")) < _entity_key(F.col("label")))
-                 ).alias("changed"),
+    try:
+        for _ in range(max_iter):
+            # min label among each node's neighbours
+            neighbour_min = (
+                sym.join(labels, sym.dst == labels.node, "inner")
+                .groupBy(sym.src.alias("node2"))
+                .agg(F.min_by("label", _entity_key(F.col("label"))).alias("nmin"))
             )
-            .localCheckpoint()
-        )
-        n_changed = updated.filter("changed").count()
-        labels = updated.select("node", "label")
-        if n_changed == 0:
-            break
+            updated = (
+                labels.join(neighbour_min, labels.node == F.col("node2"), "left")
+                .select(
+                    "node",
+                    F.when(
+                        F.col("nmin").isNotNull()
+                        & (_entity_key(F.col("nmin")) < _entity_key(F.col("label"))),
+                        F.col("nmin"),
+                    ).otherwise(F.col("label")).alias("label"),
+                    (F.col("nmin").isNotNull()
+                     & (_entity_key(F.col("nmin")) < _entity_key(F.col("label")))
+                     ).alias("changed"),
+                )
+                .localCheckpoint()
+            )
+            n_changed = updated.filter("changed").count()
+            labels = updated.select("node", "label")
+            if n_changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
 
     return labels.select(
         F.col("node").alias("entity_id"), F.col("label").alias("canonical_id")
     )
 
 
+_CANONICAL_CACHE: dict = {}
+
+
 def canonical_map(spark, edges: DataFrame = None) -> DataFrame:
     """entity_id -> canonical_id for ALL entities (singletons map to
-    themselves).  Small by construction — safe to broadcast."""
+    themselves).  Small by construction — safe to broadcast.
+
+    The default (static alias-dictionary) map is memoized per session:
+    the CC fixpoint loop runs once and later calls rebuild the tiny
+    result as a local DataFrame — repeated queries must not re-pay the
+    iterative loop for an input that cannot have changed.
+    """
     from kgkit.sources.alias_dict import alias_df, edges_df
 
     if edges is None:
-        edges = edges_df(spark)
+        key = id(spark)
+        cached = _CANONICAL_CACHE.get(key)
+        if cached is not None:
+            return spark.createDataFrame(
+                cached, "entity_id string, canonical_id string"
+            )
+        result = canonical_map(spark, edges_df(spark))
+        _CANONICAL_CACHE[key] = [tuple(r) for r in result.collect()]
+        return canonical_map(spark)
+
     comp = connected_components(edges)
     all_entities = alias_df(spark).select("entity_id").distinct()
     return (

@@ -8,7 +8,18 @@ canonicalized mentions:
   * (entity_i, 'cooccurs_with', entity_j) — consecutive linked mentions
                                            within a page, ordered by
                                            char_start (window lead, no
-                                           self-join: one shuffle by url)
+                                           self-join)
+
+Scale design: the stage shuffles the linked-mention stream EXACTLY ONCE,
+on url.  Hash-partitioning by url satisfies both downstream
+distributions — the (url, entity) aggregation (url is a prefix of the
+grouping key) and the per-url window — so Catalyst plans a single
+exchange that both union branches reuse (ReusedExchange; this also
+means the upstream stage-1 Arrow UDF executes once with no persist).
+url is a maximal-cardinality uniform key: no skew regardless of how
+hub-heavy the ENTITY distribution is — the hub-entity skew surfaces
+only in entity-keyed aggregations, handled by explicit salting in
+``salted_entity_counts``.
 
 Writes are partitioned by ``bucket = pmod(xxhash64(url), n_buckets)``.
 Hub entities (the Zipf head — 'join'/Q5 appears in most pages) would
@@ -23,17 +34,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assemble_triples(linked: DataFrame, canon: DataFrame, n_buckets: int = 64) -> DataFrame:
+def assemble_triples(
+    linked: DataFrame,
+    canon: DataFrame,
+    n_buckets: int = 64,
+    persist: bool = True,
+) -> DataFrame:
     """linked mentions + canonical map -> triples(subj, pred, obj, url,
-    char_start, char_end, bucket)."""
+    char_start, char_end, bucket).
+
+    ``persist=True`` caches the url-partitioned frame: the cached
+    partitioning satisfies BOTH branches' distribution requirements
+    (url is a prefix of the (url, entity) grouping key and is the
+    window key), so each branch reads the cache with no further
+    exchange and the upstream stage-1 UDF executes exactly once.
+    (Catalyst's ReusedExchange would serve the same purpose plan-side,
+    but the linking stage's lambda expressions defeat plan
+    canonicalization, so the reuse is made explicit here.)
+    """
     m = (
         linked.join(F.broadcast(canon), "entity_id", "left")
         .withColumn("entity", F.coalesce("canonical_id", "entity_id"))
+        .select("url", "mention_id", "entity", "char_start", "char_end")
+        .repartition("url")  # the stage's ONE exchange over the mention stream
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        m = m.persist(StorageLevel.MEMORY_AND_DISK)
 
     page_triples = (
-        m.select("url", "entity", "char_start", "char_end")
-        .groupBy("url", "entity")
+        m.groupBy("url", "entity")
         .agg(
             F.min("char_start").alias("char_start"),
             F.min("char_end").alias("char_end"),

@@ -90,18 +90,22 @@ def _label_set_q(spark, sf_dir):
 
 
 def _dataset_stats_q(spark, sf_dir):
+    """A10 in ONE pass: totals come from unbounded windows over the tiny
+    per-tag count table (≤ |label set| rows), not extra scans — the
+    word-level UDF must run exactly once."""
     plain = _word_tags_q(spark, sf_dir).select(
         F.regexp_replace("tag", "^[BILU]-", "").alias("tag")
     )
     counts = plain.groupBy("tag").agg(F.count("*").alias("n"))
-    total = plain.count()
-    total_ent = plain.filter(F.col("tag") != "O").count()
+    w = Window.partitionBy()
+    total = F.sum("n").over(w)
+    total_ent = F.sum(F.when(F.col("tag") != "O", F.col("n"))).over(w)
     return counts.select(
         "tag",
         F.col("n").cast("long").alias("n"),
-        F.round(F.col("n") / F.lit(float(total)), 6).alias("frac_with_o"),
+        F.round(F.col("n") / total.cast("double"), 6).alias("frac_with_o"),
         F.when(F.col("tag") == "O", F.lit(-1.0))
-        .otherwise(F.round(F.col("n") / F.lit(float(total_ent)), 6))
+        .otherwise(F.round(F.col("n") / total_ent.cast("double"), 6))
         .alias("frac_without_o"),
     )
 

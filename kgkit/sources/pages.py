@@ -64,6 +64,7 @@ def synth_pages(
     words_per_page: int = 40,
     zipf_hub_every: int = 3,
     pct_empty: int = 5,
+    n_filler: int = 0,
 ) -> DataFrame:
     """Deterministic synthetic pages with a planted Zipf-head hub entity.
 
@@ -71,9 +72,15 @@ def synth_pages(
     kgkit/sources/alias_dict.py) so skew handling is observable;
     ``pct_empty`` percent of pages carry no entity at all.  Pure SQL
     expressions over ``spark.range`` — fully distributed, no UDFs.
+
+    ``n_filler`` appends that many non-entity filler tokens to the word
+    pool, diluting mention density toward the few-percent rate real web
+    text has (the base 30-word pool is ~30% alias hits — unrealistically
+    entity-dense for throughput work).
     """
-    vocab = F.array(*[F.lit(w) for w in _WORDS])
-    n_words = len(_WORDS)
+    pool = _WORDS + [f"w{i:03d}" for i in range(n_filler)]
+    vocab = F.array(*[F.lit(w) for w in pool])
+    n_words = len(pool)
     # word index for (page id, position j): multiplicative mix, no RNG
     mix = f"(id * 2654435761 + pos * 40503 + {seed}) % {n_words}"
     body = (
