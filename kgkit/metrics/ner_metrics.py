@@ -1,0 +1,426 @@
+"""NER evaluation metrics as native Spark aggregations (SURVEY §2.8 A1-A9).
+
+Re-expresses the reference's metric engine
+(nerblackbox/modules/ner_training/metrics/ner_metrics.py:22-537) without
+sklearn/seqeval: every metric reduces to TP/FP/FN/support counts, so the
+distributed part is
+
+  * token level:  ONE groupBy(true, pred) confusion aggregation
+  * entity level: strict-scheme chunk extraction (two window passes) +
+                  a full-outer chunk join + ONE groupBy(class) count
+
+and the final arithmetic — including the reference's −1 "failure value"
+semantics, which it produces by trapping sklearn/seqeval
+UndefinedMetricWarning (ner_metrics.py:231-290, 320-357) — runs on the
+driver over at most |labels|² rows.  The undefined-metric dance reduces
+to denominators:
+
+  * a metric is "undefined" (−1 under the reference's zero_division=
+    'warn' paths) iff its denominator is 0,
+  * zero_division=0 paths score an undefined class as 0.0,
+  * a class is "well-defined" for macro counting iff BOTH its precision
+    and recall denominators are > 0 (ner_metrics.py:359-442 —
+    the zd=0-then-zd=1 probe sequence is equivalent to this test).
+
+Entity-level chunk matching follows seqeval STRICT mode (IOB2 / BILOU):
+a chunk is a maximal well-formed run — BIO: ``B-X (I-X)*`` (orphan I-X
+is no chunk); BILOU: ``B-X (I-X)* L-X`` or ``U-X``.  Chunks compare by
+(sequence, class, start, end) — the same mechanism the north rule's
+triple-P/R scorer uses (full-outer join on the triple key).
+
+The same counts also back the per-url triple parity join (SURVEY §2.9 J5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FAILURE = -1.0
+
+# input token-stream shape shared by all entry points:
+#   (seq_id string, pos long, true string, pred string)
+
+
+# ---------------------------------------------------------------------------
+# distributed parts
+# ---------------------------------------------------------------------------
+
+def token_confusion(df: DataFrame) -> DataFrame:
+    """(seq_id, pos, true, pred) -> (true, pred, n) — the sufficient
+    statistic for every token-level metric.  One shuffle, ≤ |labels|²
+    result rows."""
+    return df.groupBy("true", "pred").agg(F.count("*").alias("n"))
+
+
+def _bio_from_plain(tag: F.Column, prev: F.Column) -> F.Column:
+    """plain -> BIO as a window expression (tags.py:98-132 semantics)."""
+    return (
+        F.when(tag == "O", F.lit("O"))
+        .when(prev.isNull() | (prev != tag), F.concat(F.lit("B-"), tag))
+        .otherwise(F.concat(F.lit("I-"), tag))
+    )
+
+
+def tags_as_bio(df: DataFrame, col: str, scheme: str) -> DataFrame:
+    """Normalize a tag column to the entity-evaluation scheme: plain
+    converts to BIO (NerMetrics does the same via Tags.convert_scheme,
+    ner_metrics.py:73-85); bio/bilou pass through (bilou chunks are
+    extracted with BILOU rules)."""
+    if scheme != "plain":
+        return df
+    w = Window.partitionBy("seq_id").orderBy("pos")
+    return df.withColumn(col, _bio_from_plain(F.col(col), F.lag(col).over(w)))
+
+
+def extract_chunks(df: DataFrame, col: str, scheme: str) -> DataFrame:
+    """Strict chunk extraction: (seq_id, pos, <col>) ->
+    (seq_id, cls, start_pos, end_pos).
+
+    Sessionization: a new run starts wherever the tag is not a valid
+    continuation of its predecessor; a run is a chunk iff it is
+    well-formed for the scheme.  Two windows + one aggregation — no
+    per-row Python."""
+    kind = F.when(F.col(col) == "O", F.lit("O")).otherwise(
+        F.substring(col, 1, 1)
+    )
+    cls = F.substring_index(col, "-", -1)
+    w = Window.partitionBy("seq_id").orderBy("pos")
+    t = (
+        df.withColumn("_kind", kind)
+        .withColumn("_cls", cls)
+        .withColumn("_pkind", F.lag("_kind").over(w))
+        .withColumn("_pcls", F.lag("_cls").over(w))
+    )
+    continuation = (
+        F.col("_kind").isin("I", "L")
+        & (F.col("_pcls") == F.col("_cls"))
+        & F.col("_pkind").isin("B", "I")
+    )
+    t = t.withColumn(
+        "_run",
+        F.sum(F.when(continuation, F.lit(0)).otherwise(F.lit(1))).over(w),
+    ).filter(F.col("_kind") != "O")
+
+    runs = t.groupBy("seq_id", "_run").agg(
+        F.first("_cls").alias("cls"),
+        F.min("pos").alias("start_pos"),
+        F.max("pos").alias("end_pos"),
+        F.min_by("_kind", "pos").alias("first_kind"),
+        F.max_by("_kind", "pos").alias("last_kind"),
+        F.count("*").alias("size"),
+    )
+    if scheme == "bilou":
+        valid = (
+            (F.col("first_kind") == "B") & (F.col("last_kind") == "L")
+        ) | ((F.col("first_kind") == "U") & (F.col("size") == 1))
+    else:  # bio (strict IOB2)
+        valid = F.col("first_kind") == "B"
+    return runs.filter(valid).select("seq_id", "cls", "start_pos", "end_pos")
+
+
+def entity_class_counts(
+    df: DataFrame, scheme: str, pred_col: str = "pred"
+) -> DataFrame:
+    """(seq_id, pos, true, pred) -> (cls, tp, fp, fn, n_true, n_pred).
+
+    seqeval-strict chunk sets compared by full outer join on
+    (seq_id, cls, start, end) — the triple-parity mechanism (J5)."""
+    eval_scheme = "bilou" if scheme == "bilou" else "bio"
+    true_b = tags_as_bio(df.select("seq_id", "pos", F.col("true").alias("t")), "t", scheme)
+    pred_b = tags_as_bio(df.select("seq_id", "pos", F.col(pred_col).alias("t")), "t", scheme)
+    tc = extract_chunks(true_b, "t", eval_scheme).withColumn("in_true", F.lit(1))
+    pc = extract_chunks(pred_b, "t", eval_scheme).withColumn("in_pred", F.lit(1))
+    joined = tc.join(pc, ["seq_id", "cls", "start_pos", "end_pos"], "full_outer")
+    return (
+        joined.groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(F.col("in_true").isNotNull() & F.col("in_pred").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(F.col("in_true").isNull() & F.col("in_pred").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(F.col("in_true").isNotNull() & F.col("in_pred").isNull(), 1)
+                .otherwise(0)
+            ).alias("fn"),
+        )
+        .withColumn("n_true", F.col("tp") + F.col("fn"))
+        .withColumn("n_pred", F.col("tp") + F.col("fp"))
+    )
+
+
+def asr_corrected(df: DataFrame, scheme: str, pred_col: str = "pred") -> DataFrame:
+    """Annotation-scheme repair of the prediction stream as window
+    expressions (parity: kgkit.ner_core.schemes.fix_scheme <-
+    tags.py:224-374).  Neighbour context comes from the ORIGINAL stream,
+    so lag/lead suffice.  Adds ``pred_asr`` and ``asr_changed``.
+
+    BIO: I-X with prev not in {B-X, I-X} -> B-X.
+    BILOU closed form of the reference's rewrite loop:
+        I: bad_prev&bad_next->U, bad_next->L, bad_prev->B
+        L: bad_prev&bad_next->U, bad_prev->B
+        B: bad_next->U
+    """
+    w = Window.partitionBy("seq_id").orderBy("pos")
+    tag = F.col(pred_col)
+    cls = F.substring_index(tag, "-", -1)
+    kind = F.when(tag == "O", F.lit("O")).otherwise(F.substring(tag, 1, 1))
+    prev = F.lag(pred_col).over(w)
+    good_prev = (prev == F.concat(F.lit("B-"), cls)) | (
+        prev == F.concat(F.lit("I-"), cls)
+    )
+    if scheme == "bio":
+        fixed = F.when(
+            (kind == "I") & ~F.coalesce(good_prev, F.lit(False)),
+            F.concat(F.lit("B-"), cls),
+        ).otherwise(tag)
+    elif scheme == "bilou":
+        nxt = F.lead(pred_col).over(w)
+        good_next = (nxt == F.concat(F.lit("I-"), cls)) | (
+            nxt == F.concat(F.lit("L-"), cls)
+        )
+        bad_prev = ~F.coalesce(good_prev, F.lit(False))
+        bad_next = ~F.coalesce(good_next, F.lit(False))
+        fixed = (
+            F.when(kind == "O", tag)
+            .when(kind == "U", tag)
+            .when((kind == "I") & bad_prev & bad_next, F.concat(F.lit("U-"), cls))
+            .when((kind == "I") & bad_next, F.concat(F.lit("L-"), cls))
+            .when((kind == "I") & bad_prev, F.concat(F.lit("B-"), cls))
+            .when((kind == "L") & bad_prev & bad_next, F.concat(F.lit("U-"), cls))
+            .when((kind == "L") & bad_prev, F.concat(F.lit("B-"), cls))
+            .when((kind == "B") & bad_next, F.concat(F.lit("U-"), cls))
+            .otherwise(tag)
+        )
+    else:
+        raise ValueError(f"asr not defined for scheme {scheme!r}")
+    return df.withColumn("pred_asr", fixed).withColumn(
+        "asr_changed", (F.col("pred_asr") != tag).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver-side arithmetic over collected counts
+# ---------------------------------------------------------------------------
+
+def _div(num: float, den: float, undefined: float) -> float:
+    return num / den if den > 0 else undefined
+
+
+def _f1(p: float, r: float) -> float:
+    if p == FAILURE or r == FAILURE:
+        return FAILURE
+    return 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+
+
+class TokenCounts:
+    """Per-label TP / pred-count / true-count from a confusion table."""
+
+    def __init__(self, confusion_rows: Sequence[Tuple[str, str, int]]):
+        self.tp: Dict[str, int] = {}
+        self.n_pred: Dict[str, int] = {}
+        self.n_true: Dict[str, int] = {}
+        self.total = 0
+        self.correct = 0
+        for true, pred, n in confusion_rows:
+            self.total += n
+            if true == pred:
+                self.correct += n
+                self.tp[true] = self.tp.get(true, 0) + n
+            self.n_pred[pred] = self.n_pred.get(pred, 0) + n
+            self.n_true[true] = self.n_true.get(true, 0) + n
+
+    @property
+    def labels(self) -> List[str]:
+        return sorted(set(self.n_pred) | set(self.n_true))
+
+    def precision(self, c: str, undefined: float = 0.0) -> float:
+        return _div(self.tp.get(c, 0), self.n_pred.get(c, 0), undefined)
+
+    def recall(self, c: str, undefined: float = 0.0) -> float:
+        return _div(self.tp.get(c, 0), self.n_true.get(c, 0), undefined)
+
+
+def token_metrics_from_confusion(
+    confusion_rows: Sequence[Tuple[str, str, int]],
+    classes: Optional[List[str]] = None,
+) -> Dict[str, float]:
+    """Reference NerMetrics token-level semantics (ner_metrics.py:231-290).
+
+    classes=None -> 'all' (sorted union of observed labels);
+    len(classes)>1 -> zero_division=0; len(classes)==1 -> 'warn' (−1).
+    """
+    tc = TokenCounts(confusion_rows)
+    labels = classes if classes is not None else tc.labels
+    single = classes is not None and len(classes) == 1
+    und = FAILURE if single else 0.0
+
+    tp = sum(tc.tp.get(c, 0) for c in labels)
+    np_ = sum(tc.n_pred.get(c, 0) for c in labels)
+    nt = sum(tc.n_true.get(c, 0) for c in labels)
+    precision_micro = _div(tp, np_, und)
+    recall_micro = _div(tp, nt, und)
+    f1_micro = _f1(precision_micro, recall_micro)
+
+    per_p = [tc.precision(c, und) for c in labels]
+    per_r = [tc.recall(c, und) for c in labels]
+    per_f = [_f1(p, r) for p, r in zip(per_p, per_r)]
+    precision_macro = _mean_or_failure(per_p)
+    recall_macro = _mean_or_failure(per_r)
+    f1_macro = _mean_or_failure(per_f)
+
+    # well-defined classes: both denominators > 0, over ALL labels
+    well = [
+        c for c in tc.labels
+        if tc.n_pred.get(c, 0) > 0 and tc.n_true.get(c, 0) > 0
+    ]
+    return {
+        "acc": _div(tc.correct, tc.total, 0.0),
+        "precision_micro": precision_micro,
+        "recall_micro": recall_micro,
+        "f1_micro": f1_micro,
+        "precision_macro": precision_macro,
+        "recall_macro": recall_macro,
+        "f1_macro": f1_macro,
+        "numberofclasses_macro": max(len(well) - 1, 0),  # disregard 'O'
+    }
+
+
+def _mean_or_failure(values: List[float]) -> float:
+    if not values:
+        return 0.0
+    if any(v == FAILURE for v in values):
+        return FAILURE
+    return sum(values) / len(values)
+
+
+def entity_metrics_from_counts(
+    count_rows: Sequence[Tuple[str, int, int, int]],
+    class_name: Optional[str] = None,
+) -> Dict[str, float]:
+    """Reference NerMetrics entity-level semantics
+    (ner_metrics.py:292-357, 444-537) from (cls, tp, fp, fn) rows.
+
+    class_name=None -> 'fil' micro/macro over all chunk classes;
+    class_name=c -> per-class ('ind') with −1 failure codes.
+    """
+    counts = {c: (tp, fp, fn) for c, tp, fp, fn in count_rows}
+    classes = sorted(counts)
+
+    if class_name is not None:
+        if class_name not in counts:  # seqeval IndexError path -> −1
+            return {
+                "precision_micro": FAILURE,
+                "recall_micro": FAILURE,
+                "f1_micro": FAILURE,
+            }
+        tp, fp, fn = counts[class_name]
+        p = _div(tp, tp + fp, FAILURE)
+        r = _div(tp, tp + fn, FAILURE)
+        return {"precision_micro": p, "recall_micro": r, "f1_micro": _f1(p, r)}
+
+    tp = sum(v[0] for v in counts.values())
+    fp = sum(v[1] for v in counts.values())
+    fn = sum(v[2] for v in counts.values())
+    precision_micro = _div(tp, tp + fp, FAILURE)
+    recall_micro = _div(tp, tp + fn, FAILURE)
+    f1_micro = _f1(precision_micro, recall_micro)
+
+    per = {
+        c: (
+            _div(v[0], v[0] + v[1], 0.0),
+            _div(v[0], v[0] + v[2], 0.0),
+        )
+        for c, v in counts.items()
+    }
+    precision_macro = _mean_or_failure([p for p, _ in per.values()])
+    recall_macro = _mean_or_failure([r for _, r in per.values()])
+    f1_macro = _mean_or_failure([_f1(p, r) for p, r in per.values()])
+
+    well = [c for c in classes if counts[c][0] + counts[c][1] > 0
+            and counts[c][0] + counts[c][2] > 0]
+    return {
+        "precision_micro": precision_micro,
+        "recall_micro": recall_micro,
+        "f1_micro": f1_micro,
+        "precision_macro": precision_macro,
+        "recall_macro": recall_macro,
+        "f1_macro": f1_macro,
+        "numberofclasses_macro": len(well),
+    }
+
+
+# ---------------------------------------------------------------------------
+# top-level API (Model._evaluate parity, api/model.py:863-968)
+# ---------------------------------------------------------------------------
+
+def ner_metrics(
+    df: DataFrame,
+    level: str,
+    scheme: str,
+    classes: Optional[List[str]] = None,
+    class_name: Optional[str] = None,
+    asr: bool = False,
+) -> Dict[str, float]:
+    """Compute the reference's NerMetrics result dict over a Spark token
+    stream (seq_id, pos, true, pred)."""
+    assert level in ("token", "entity"), f"level {level!r} unknown"
+    if level == "token":
+        rows = [
+            (r["true"], r["pred"], r["n"])
+            for r in token_confusion(df).collect()
+        ]
+        return token_metrics_from_confusion(rows, classes)
+
+    result: Dict[str, float] = {}
+    rows = [
+        (r["cls"], r["tp"], r["fp"], r["fn"])
+        for r in entity_class_counts(df, scheme).collect()
+    ]
+    result.update(entity_metrics_from_counts(rows, class_name))
+    if asr:
+        eval_scheme = "bilou" if scheme == "bilou" else "bio"
+        bio = tags_as_bio(
+            tags_as_bio(df, "true", scheme), "pred", scheme
+        )
+        corrected = asr_corrected(bio, eval_scheme)
+        abidance = corrected.agg(
+            (1 - F.avg("asr_changed")).alias("a")
+        ).collect()[0]["a"]
+        asr_rows = [
+            (r["cls"], r["tp"], r["fp"], r["fn"])
+            for r in entity_class_counts(
+                corrected, eval_scheme, pred_col="pred_asr"
+            ).collect()
+        ]
+        asr_res = entity_metrics_from_counts(asr_rows)
+        result["asr_abidance"] = float(abidance if abidance is not None else 1.0)
+        result["asr_precision_micro"] = asr_res["precision_micro"]
+        result["asr_recall_micro"] = asr_res["recall_micro"]
+        result["asr_f1_micro"] = asr_res["f1_micro"]
+    return result
+
+
+def evaluation_dict(
+    df: DataFrame, scheme: str = "bio", classes: Optional[List[str]] = None
+) -> Dict[str, Dict[str, Dict[str, Optional[float]]]]:
+    """EVALUATION_DICT parity (api/model.py:925-953):
+    [micro|macro][entity|token][precision|recall|f1] — token level over
+    plain classes, entity level over chunk classes, one Spark pass each."""
+    token = ner_metrics(df, "token", scheme, classes=classes)
+    entity = ner_metrics(df, "entity", scheme)
+    out: Dict[str, Dict[str, Dict[str, Optional[float]]]] = {
+        label: {lvl: {} for lvl in ("entity", "token")}
+        for label in ("micro", "macro")
+    }
+    for metric in ("precision", "recall", "f1"):
+        for label in ("micro", "macro"):
+            out[label]["entity"][metric] = entity[f"{metric}_{label}"]
+            out[label]["token"][metric] = token[f"{metric}_{label}"]
+    return out

@@ -15,6 +15,40 @@ pipeline checkable in ANSI SQL.
 
 from kgkit.sources.alias_dict import alias_values_sql, edges_values_sql
 
+
+def _chunks_sql(src: str) -> str:
+    """Strict-IOB2 chunk extraction over a (doc_id, pos, tag) relation —
+    the SQL twin of kgkit.metrics.ner_metrics.extract_chunks: sessionize
+    on broken continuations, keep runs that start with B-."""
+    return f"""
+        SELECT doc_id, cls,
+               min(pos) AS start_pos, max(pos) AS end_pos
+        FROM (
+            SELECT doc_id, pos, kind, cls,
+                   sum(CASE WHEN kind = 'I' AND pcls = cls
+                                 AND pkind IN ('B', 'I')
+                            THEN 0 ELSE 1 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS run
+            FROM (
+                SELECT doc_id, pos,
+                       CASE WHEN tag = 'O' THEN 'O'
+                            ELSE substr(tag, 1, 1) END AS kind,
+                       CASE WHEN tag = 'O' THEN 'O'
+                            ELSE substr(tag, 3) END AS cls,
+                       lag(CASE WHEN tag = 'O' THEN 'O'
+                                ELSE substr(tag, 1, 1) END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS pkind,
+                       lag(CASE WHEN tag = 'O' THEN 'O'
+                                ELSE substr(tag, 3) END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS pcls
+                FROM {src}
+            )
+        )
+        WHERE kind != 'O'
+        GROUP BY doc_id, run, cls
+        HAVING arg_min(kind, pos) = 'B'
+    """
+
 # ---------------------------------------------------------------------------
 # shared CTE bodies
 # ---------------------------------------------------------------------------
@@ -211,6 +245,63 @@ ORACLES = {
                     WHEN single_tag IS NOT NULL THEN 'B-' || single_tag
                     ELSE 'O' END AS tag
         FROM marked
+    """,
+    "ner_token_confusion": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE},
+        stream AS (
+            SELECT doc_id, pos - 1 AS pos,
+                   CASE WHEN bi_tag IS NOT NULL THEN 'B-' || bi_tag
+                        WHEN bi_cont THEN 'I-OP'
+                        WHEN single_tag IS NOT NULL THEN 'B-' || single_tag
+                        ELSE 'O' END AS true_tag
+            FROM marked
+        ),
+        st AS (
+            SELECT doc_id, pos, true_tag,
+                   CASE WHEN true_tag != 'O' AND (pos * 31 + doc_id) % 7 = 0
+                        THEN 'O' ELSE true_tag END AS pred_tag
+            FROM stream
+        )
+        SELECT true_tag AS "true", pred_tag AS pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM st GROUP BY 1, 2
+    """,
+    "ner_entity_prf": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE},
+        stream AS (
+            SELECT doc_id, pos - 1 AS pos,
+                   CASE WHEN bi_tag IS NOT NULL THEN 'B-' || bi_tag
+                        WHEN bi_cont THEN 'I-OP'
+                        WHEN single_tag IS NOT NULL THEN 'B-' || single_tag
+                        ELSE 'O' END AS true_tag
+            FROM marked
+        ),
+        st AS (
+            SELECT doc_id, pos, true_tag,
+                   CASE WHEN true_tag != 'O' AND (pos * 31 + doc_id) % 7 = 0
+                        THEN 'O' ELSE true_tag END AS pred_tag
+            FROM stream
+        ),
+        tmarks AS (SELECT doc_id, pos, true_tag AS tag FROM st),
+        pmarks AS (SELECT doc_id, pos, pred_tag AS tag FROM st),
+        tchunks AS ({_chunks_sql('tmarks')}),
+        pchunks AS ({_chunks_sql('pmarks')}),
+        j AS (
+            SELECT COALESCE(t.cls, p.cls) AS cls,
+                   t.cls IS NOT NULL AS in_true,
+                   p.cls IS NOT NULL AS in_pred
+            FROM tchunks t
+            FULL OUTER JOIN pchunks p
+              ON t.doc_id = p.doc_id AND t.cls = p.cls
+             AND t.start_pos = p.start_pos AND t.end_pos = p.end_pos
+        )
+        SELECT cls,
+               CAST(sum(CASE WHEN in_true AND in_pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN NOT in_true AND in_pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN in_true AND NOT in_pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN in_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN in_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred
+        FROM j GROUP BY cls
     """,
     "label_set": f"""
         WITH {WORDS_CTE}, {MARKED_CTE},

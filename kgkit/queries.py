@@ -89,6 +89,48 @@ def _label_set_q(spark, sf_dir):
     return _word_tags_q(spark, sf_dir).select("tag").distinct()
 
 
+def _ner_eval_stream(spark, sf_dir):
+    """Deterministic (true, pred) token stream for the metrics engine:
+    true = gazetteer word tags; pred = true with every tag at
+    (pos*31 + doc_id) % 7 == 0 flipped to 'O' (pure arithmetic — the
+    same perturbation is replayed in the DuckDB oracle)."""
+    wt = word_tags(_pages(spark, sf_dir))
+    doc_id = F.substring_index(F.col("url"), "//", -1).cast("long")
+    flip = (F.col("tag") != "O") & (
+        (F.col("pos").cast("long") * 31 + doc_id) % 7 == 0
+    )
+    return wt.select(
+        F.col("url").alias("seq_id"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("tag").alias("true"),
+        F.when(flip, F.lit("O")).otherwise(F.col("tag")).alias("pred"),
+    )
+
+
+def _ner_token_confusion_q(spark, sf_dir):
+    """A2-A4/A7 sufficient statistic: token-level confusion counts."""
+    from kgkit.metrics.ner_metrics import token_confusion
+
+    return token_confusion(_ner_eval_stream(spark, sf_dir)).select(
+        "true", "pred", F.col("n").cast("long").alias("n")
+    )
+
+
+def _ner_entity_prf_q(spark, sf_dir):
+    """A5: seqeval-strict per-class chunk TP/FP/FN — the entity-level
+    P/R engine (and the north rule's triple-parity mechanism J5)."""
+    from kgkit.metrics.ner_metrics import entity_class_counts
+
+    return entity_class_counts(_ner_eval_stream(spark, sf_dir), "bio").select(
+        "cls",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+    )
+
+
 def _dataset_stats_q(spark, sf_dir):
     """A10 in ONE pass: totals come from unbounded windows over the tiny
     per-tag count table (≤ |label set| rows), not extra scans — the
@@ -268,6 +310,8 @@ QUERIES = {
     "kg_entity_counts": _entity_counts_q,
     "word_tags_bio": _word_tags_q,
     "label_set": _label_set_q,
+    "ner_token_confusion": _ner_token_confusion_q,
+    "ner_entity_prf": _ner_entity_prf_q,
     "dataset_stats": _dataset_stats_q,
     "split_phases": _split_phases_q,
     "lang_id": _lang_id_q,
