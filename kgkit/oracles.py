@@ -208,6 +208,83 @@ triples AS (
 # oracle statements, keyed like kgkit.queries.QUERIES
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# dedup / similarity fragments
+# ---------------------------------------------------------------------------
+
+_ODD = "('1','3','5','7','9','b','d','f')"
+
+PLANTED_DOCS_CTE = """
+docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           text || ' near duplicate suffix tail' AS text
+    FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+SHINGLED_CTE = """
+shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])) AS sh
+    FROM docs2
+)
+"""
+
+
+def _minhash_cols_sql(k: int = 8) -> str:
+    return ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh{i}"
+        for i in range(k)
+    )
+
+
+def _bands_sql(bands: int = 4, rows: int = 2) -> str:
+    selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM signed"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(string_split(text, ' '), "
+            f"w -> CASE WHEN substr(md5(w), {j + 1}, 1) IN {_ODD} "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _hyperplane_bucket_sql(vec_expr: str, planes: int = 4, dim: int = 64) -> str:
+    """Same sign-LSH bucket as kgkit.operators.similarity.lsh_bucket —
+    literals generated by the SAME hyperplanes() function."""
+    from kgkit.operators.similarity import hyperplanes
+
+    terms = []
+    for i, plane in enumerate(hyperplanes(planes, dim)):
+        lit = "[" + ", ".join(f"{float(x)}" for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_COS_SQL = """round(list_dot_product(ea, eb)
+                 / (sqrt(list_dot_product(ea, ea))
+                  * sqrt(list_dot_product(eb, eb))), 6)"""
+
+
 ORACLES = {
     "kg_mentions": f"""
         WITH {MENTIONS_CTE}
@@ -431,6 +508,97 @@ ORACLES = {
         GROUP BY l.l_orderkey, o.o_orderdate
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {PLANTED_DOCS_CTE}, {SHINGLED_CTE},
+        signed AS (SELECT doc_id, sh, {_minhash_cols_sql()} FROM shingled),
+        bandt AS ({_bands_sql()}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bandt a JOIN bandt b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+            SELECT c.doc_a, c.doc_b,
+                   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+                   len(sa.sh) AS n_a, len(sb.sh) AS n_b
+            FROM cand c
+            JOIN shingled sa ON sa.doc_id = c.doc_a
+            JOIN shingled sb ON sb.doc_id = c.doc_b
+        )
+        SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+               round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+        FROM ver
+        WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+    """,
+    "dedup_simhash": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST({_simhash_sql()} AS BIGINT) AS simhash
+        FROM documents
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {PLANTED_DOCS_CTE}, {SHINGLED_CTE},
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+        kept AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+        ex2 AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled)
+        SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+               round(n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE round(n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH emb2 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        bucketed AS (
+            SELECT vec_id, e, {_hyperplane_bucket_sql('e')} AS bucket
+            FROM emb2
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.e AS ea, b.e AS eb
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+               {_COS_SQL} AS cos
+        FROM pairs
+        WHERE {_COS_SQL} >= 0.999
+    """,
+    "ann_topk_lsh": f"""
+        WITH queries AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS ea,
+                   {_hyperplane_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings WHERE vec_id < 10
+        ),
+        corpus AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS eb,
+                   {_hyperplane_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings WHERE vec_id >= 10
+        ),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id, {_COS_SQL} AS cos
+            FROM queries q JOIN corpus c ON q.bucket = c.bucket
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
     """,
     "ann_topk": """
         WITH queries AS (

@@ -224,6 +224,73 @@ def _doc_fingerprint_q(spark, sf_dir):
     )
 
 
+def _planted_docs(spark, sf_dir):
+    from kgkit.operators.dedup import planted_near_dups
+
+    return planted_near_dups(_documents(spark, sf_dir).select("doc_id", "text"))
+
+
+def _dedup_minhash_q(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline on a planted-duplicate corpus."""
+    from kgkit.operators.dedup import minhash_near_dups
+
+    d = minhash_near_dups(_planted_docs(spark, sf_dir))
+    return d.select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard"
+    )
+
+
+def _dedup_simhash_q(spark, sf_dir):
+    from kgkit.operators.dedup import simhash
+
+    return simhash(_documents(spark, sf_dir).select("doc_id", "text")).select(
+        F.col("doc_id").cast("long"), F.col("simhash").cast("long")
+    )
+
+
+def _dedup_ngram_jaccard_q(spark, sf_dir):
+    """Exact inverted-index n-gram Jaccard on the planted corpus."""
+    from kgkit.operators.dedup import ngram_jaccard_pairs
+
+    d = ngram_jaccard_pairs(_planted_docs(spark, sf_dir))
+    return d.select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard"
+    )
+
+
+def _planted_embeddings(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(copies)
+
+
+def _dedup_embedding_q(spark, sf_dir):
+    from kgkit.operators.similarity import embedding_near_dups
+
+    d = embedding_near_dups(_planted_embeddings(spark, sf_dir))
+    return d.select(
+        F.col("vec_a").cast("long"), F.col("vec_b").cast("long"), "cos"
+    )
+
+
+def _ann_topk_lsh_q(spark, sf_dir):
+    """Sign-LSH bucketed ANN (the scale path next to brute-force ann_topk)."""
+    from kgkit.operators.similarity import lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return lsh_topk(queries, corpus, k=3).select(
+        F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"), "rank"
+    )
+
+
 def _dedup_exact_q(spark, sf_dir):
     docs = _documents(spark, sf_dir)
     return docs.groupBy(F.md5("text").alias("text_hash")).agg(
@@ -319,6 +386,11 @@ QUERIES = {
     "quality_score": _quality_score_q,
     "doc_fingerprint": _doc_fingerprint_q,
     "dedup_exact": _dedup_exact_q,
+    "dedup_minhash_lsh": _dedup_minhash_q,
+    "dedup_simhash": _dedup_simhash_q,
+    "dedup_ngram_jaccard": _dedup_ngram_jaccard_q,
+    "dedup_embedding_cosine": _dedup_embedding_q,
+    "ann_topk_lsh": _ann_topk_lsh_q,
     "events_hourly": _events_hourly_q,
     "q1_pricing_summary": _q1_q,
     "q3_shipping_priority": _q3_q,
