@@ -509,6 +509,98 @@ ORACLES = {
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """,
+    "media_stats": """
+        SELECT 'text/html' AS media_type,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        FROM documents GROUP BY 1
+    """,
+    "media_frame_sample": """
+        WITH f AS (
+            SELECT 'doc://' || doc_id AS url, text,
+                   CAST(floor(strlen(text) / 64) AS INT) AS n_frames
+            FROM documents
+        ),
+        idx AS (
+            SELECT url, text, unnest(range(0, n_frames)) AS frame_idx
+            FROM f WHERE n_frames > 0
+        )
+        SELECT url, CAST(frame_idx AS BIGINT) AS frame_idx,
+               md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64))
+                   AS frame_digest
+        FROM idx WHERE frame_idx % 4 = 0
+    """,
+    "tags_bilou": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE},
+        pl AS (
+            SELECT doc_id, pos - 1 AS pos,
+                   CASE WHEN bi_tag IS NOT NULL THEN bi_tag
+                        WHEN bi_cont THEN 'OP'
+                        WHEN single_tag IS NOT NULL THEN single_tag
+                        ELSE 'O' END AS p
+            FROM marked
+        ),
+        x AS (
+            SELECT doc_id, pos, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY pos) AS pv,
+                   lead(p) OVER (PARTITION BY doc_id ORDER BY pos) AS nx
+            FROM pl
+        )
+        SELECT 'doc://' || doc_id AS url, CAST(pos AS BIGINT) AS pos,
+               CASE WHEN p = 'O' THEN 'O'
+                    WHEN (pv IS NULL OR pv != p) AND (nx IS NULL OR nx != p)
+                         THEN 'U-' || p
+                    WHEN (pv IS NULL OR pv != p) THEN 'B-' || p
+                    WHEN (nx IS NULL OR nx != p) THEN 'L-' || p
+                    ELSE 'I-' || p END AS tag_bilou
+        FROM x
+    """,
+    "iob1_roundtrip": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE},
+        bio AS (
+            SELECT doc_id, pos - 1 AS pos,
+                   CASE WHEN bi_tag IS NOT NULL THEN 'B-' || bi_tag
+                        WHEN bi_cont THEN 'I-OP'
+                        WHEN single_tag IS NOT NULL THEN 'B-' || single_tag
+                        ELSE 'O' END AS tag,
+                   CASE WHEN bi_tag IS NOT NULL THEN bi_tag
+                        WHEN bi_cont THEN 'OP'
+                        WHEN single_tag IS NOT NULL THEN single_tag
+                        ELSE 'O' END AS p
+            FROM marked
+        ),
+        a AS (
+            SELECT *, lag(p) OVER (PARTITION BY doc_id ORDER BY pos) AS pp
+            FROM bio
+        ),
+        i1 AS (
+            SELECT doc_id, pos, tag,
+                   CASE WHEN tag LIKE 'B-%' AND (pp IS NULL OR pp != p)
+                        THEN 'I-' || p ELSE tag END AS tag_iob1
+            FROM a
+        ),
+        b AS (
+            SELECT *, lag(tag_iob1)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS pv
+            FROM i1
+        )
+        SELECT 'doc://' || doc_id AS url, CAST(pos AS BIGINT) AS pos,
+               tag_iob1,
+               CASE WHEN tag_iob1 LIKE 'I-%'
+                         AND NOT COALESCE(
+                             pv = 'B-' || substr(tag_iob1, 3)
+                             OR pv = 'I-' || substr(tag_iob1, 3), FALSE)
+                    THEN 'B-' || substr(tag_iob1, 3)
+                    ELSE tag_iob1 END AS tag_iob2,
+               (CASE WHEN tag_iob1 LIKE 'I-%'
+                          AND NOT COALESCE(
+                              pv = 'B-' || substr(tag_iob1, 3)
+                              OR pv = 'I-' || substr(tag_iob1, 3), FALSE)
+                     THEN 'B-' || substr(tag_iob1, 3)
+                     ELSE tag_iob1 END) = tag AS roundtrip_ok
+        FROM b
+    """,
     "dedup_minhash_lsh": f"""
         WITH {PLANTED_DOCS_CTE}, {SHINGLED_CTE},
         signed AS (SELECT doc_id, sh, {_minhash_cols_sql()} FROM shingled),

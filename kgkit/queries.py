@@ -299,6 +299,89 @@ def _dedup_exact_q(spark, sf_dir):
     )
 
 
+def _media_stats_q(spark, sf_dir):
+    """Multimodal metadata over the opaque binary column (no decode)."""
+    from kgkit.operators.multimodal import media_metadata
+
+    pages = load_pages(spark, sf_dir)
+    return media_metadata(pages).groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.countDistinct("digest").cast("long").alias("n_distinct"),
+    )
+
+
+def _media_frame_sample_q(spark, sf_dir):
+    """Frame-sampling arithmetic over binary payloads (every 4th 64-byte
+    frame, per-frame digest)."""
+    from kgkit.operators.multimodal import frame_sample
+
+    return frame_sample(load_pages(spark, sf_dir)).select(
+        "url", "frame_idx", "frame_digest"
+    )
+
+
+def _media_byte_histogram_q(spark, sf_dir):
+    """Vectorized numpy feature extraction from binary media (Arrow
+    batches; stands where an image-embedding model would run).  No SQL
+    oracle — the driver records a rows-only check."""
+    from kgkit.operators.multimodal import byte_histogram_features
+
+    return byte_histogram_features(load_pages(spark, sf_dir))
+
+
+def _tags_bilou_q(spark, sf_dir):
+    """P7 plain->bilou as a lag/lead window conversion (SURVEY §2.3)."""
+    wt = _word_tags_q(spark, sf_dir)
+    plain = F.regexp_replace("tag", "^[BILU]-", "")
+    w = Window.partitionBy("url").orderBy("pos")
+    t = wt.select("url", "pos", plain.alias("p"))
+    prev, nxt = F.lag("p").over(w), F.lead("p").over(w)
+    starts = prev.isNull() | (prev != F.col("p"))
+    ends = nxt.isNull() | (nxt != F.col("p"))
+    return t.select(
+        "url", "pos",
+        F.when(F.col("p") == "O", F.lit("O"))
+        .when(starts & ends, F.concat(F.lit("U-"), "p"))
+        .when(starts, F.concat(F.lit("B-"), "p"))
+        .when(ends, F.concat(F.lit("L-"), "p"))
+        .otherwise(F.concat(F.lit("I-"), "p"))
+        .alias("tag_bilou"),
+    )
+
+
+def _iob1_roundtrip_q(spark, sf_dir):
+    """P6 IOB1->IOB2 as a lag window: downgrade the BIO stream to IOB1
+    (B- only separates adjacent same-class chunks), convert back, and
+    return both columns — the roundtrip must reproduce the original."""
+    wt = _word_tags_q(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy("pos")
+    plain = F.regexp_replace("tag", "^[BI]-", "")
+    t = wt.select(
+        "url", "pos", "tag", plain.alias("p"), F.lag(plain).over(w).alias("pp")
+    )
+    iob1 = F.when(
+        F.col("tag").startswith("B-")
+        & (F.col("pp").isNull() | (F.col("pp") != F.col("p"))),
+        F.concat(F.lit("I-"), "p"),
+    ).otherwise(F.col("tag"))
+    t = t.select("url", "pos", "tag", iob1.alias("tag_iob1"))
+    prev1 = F.lag("tag_iob1").over(w)
+    # IOB1 -> IOB2: I-X becomes B-X unless previous tag is B-X or I-X
+    cls = F.regexp_replace("tag_iob1", "^[BI]-", "")
+    keep_i = (prev1 == F.concat(F.lit("B-"), cls)) | (
+        prev1 == F.concat(F.lit("I-"), cls)
+    )
+    tag_iob2 = F.when(
+        F.col("tag_iob1").startswith("I-") & ~F.coalesce(keep_i, F.lit(False)),
+        F.concat(F.lit("B-"), cls),
+    ).otherwise(F.col("tag_iob1"))
+    return t.select(
+        "url", "pos", "tag_iob1", tag_iob2.alias("tag_iob2"),
+        (tag_iob2 == F.col("tag")).alias("roundtrip_ok"),
+    )
+
+
 def _events_hourly_q(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.groupBy(
@@ -391,6 +474,11 @@ QUERIES = {
     "dedup_ngram_jaccard": _dedup_ngram_jaccard_q,
     "dedup_embedding_cosine": _dedup_embedding_q,
     "ann_topk_lsh": _ann_topk_lsh_q,
+    "media_stats": _media_stats_q,
+    "media_frame_sample": _media_frame_sample_q,
+    "media_byte_histogram": _media_byte_histogram_q,
+    "tags_bilou": _tags_bilou_q,
+    "iob1_roundtrip": _iob1_roundtrip_q,
     "events_hourly": _events_hourly_q,
     "q1_pricing_summary": _q1_q,
     "q3_shipping_priority": _q3_q,
