@@ -194,6 +194,11 @@ def fix_scheme(tags: Sequence[str], scheme: str) -> Tuple[List[str], float]:
     abidance = fraction of tags that did NOT need repair.  Neighbour
     context is always taken from the ORIGINAL sequence (like the
     reference, which indexes self.tag_list, not the repaired output).
+
+    Deliberate divergence: on an EMPTY sequence the reference returns
+    nan (np.mean of an empty array, tags.py:265); we define abidance as
+    1.0 there — nothing needed repair — so downstream aggregations
+    never see NaN.
     """
     n = len(tags)
     repaired: List[str] = []
