@@ -1,0 +1,64 @@
+"""CoNLL-2003-style source (SURVEY §2.1 S3).
+
+Reference: BaseFormatter._read_original_file
+(nerblackbox/modules/datasets/formatter/base_formatter.py:175-210) +
+CoNLL2003 column layout (conll2003_formatter.py:94-123): 4 space-
+separated columns per token line, blank lines split sentences,
+``-DOCSTART-`` rows are dropped.  The reference also converts IOB1 tags
+to IOB2 afterwards (base_formatter.py:316-369) — exposed here as an
+option via the same lag-window used in kgkit.queries.iob1_roundtrip.
+
+Spark shape: one pass over ``spark.read.text`` lines; the sentence id is
+a running count of blank lines (window cumsum ordered by file offset —
+``monotonically_increasing_id`` preserves single-file line order because
+partition ids are assigned by ascending split offset)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def read_conll(spark, path: str, iob2: bool = True) -> DataFrame:
+    """-> (sentence_id long, pos long, word string, tag string)."""
+    lines = spark.read.text(path).withColumn(
+        "line_no", F.monotonically_increasing_id()
+    )
+    w = Window.orderBy("line_no")
+    is_blank = F.trim(F.col("value")) == ""
+    parsed = (
+        lines.withColumn(
+            "sentence_id",
+            F.sum(is_blank.cast("long")).over(w),
+        )
+        .filter(~is_blank)
+        .withColumn("cols", F.split(F.trim("value"), r"\s+"))
+        .filter(F.col("cols")[0] != "-DOCSTART-")
+        .select(
+            "sentence_id",
+            "line_no",
+            F.col("cols")[0].alias("word"),
+            F.element_at("cols", -1).alias("tag"),
+        )
+    )
+    ws = Window.partitionBy("sentence_id").orderBy("line_no")
+    out = parsed.select(
+        "sentence_id",
+        (F.row_number().over(ws) - 1).cast("long").alias("pos"),
+        "word",
+        "tag",
+        F.lag("tag").over(ws).alias("_prev"),
+    )
+    if iob2:
+        cls = F.substring_index("tag", "-", -1)
+        keep = (F.col("_prev") == F.concat(F.lit("B-"), cls)) | (
+            F.col("_prev") == F.concat(F.lit("I-"), cls)
+        )
+        out = out.withColumn(
+            "tag",
+            F.when(
+                F.col("tag").startswith("I-") & ~F.coalesce(keep, F.lit(False)),
+                F.concat(F.lit("B-"), cls),
+            ).otherwise(F.col("tag")),
+        )
+    return out.drop("_prev")

@@ -1,0 +1,184 @@
+"""Sources/sinks + annotation-format converters (S1-S3, K1/K2, P8).
+
+The doccano/labelstudio reshapes are differential-tested against the
+reference's own file_conversion.py (pure python, loaded standalone)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import tempfile
+
+import pytest
+
+REF_FC = "/root/reference/nerblackbox/modules/annotation/file_conversion.py"
+REF_CONLL = "/root/reference/nerblackbox/tests/test_data/original_data/eng.testa"
+
+
+@pytest.fixture(scope="module")
+def ref_fc():
+    if not os.path.isfile(REF_FC):
+        pytest.skip("reference unavailable")
+    spec = importlib.util.spec_from_file_location("ref_fc", REF_FC)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_fc"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+SAMPLE = [
+    {
+        "text": "\n2020-05-20 John Doe pratar.",
+        "tags": [
+            {"char_start": 1, "char_end": 11, "token": "2020-05-20", "tag": "PI"},
+            {"char_start": 12, "char_end": 20, "token": "John Doe", "tag": "PI"},
+        ],
+    },
+    {"text": "inga taggar här", "tags": []},
+    {
+        "text": "spark kör join",
+        "tags": [{"char_start": 10, "char_end": 14, "token": "join", "tag": "OP"}],
+    },
+]
+
+
+def _sample_df(spark):
+    from kgkit.sources.formats import JSONL_SCHEMA
+
+    return spark.createDataFrame(
+        [(r["text"], [tuple(t.values()) for t in r["tags"]]) for r in SAMPLE],
+        JSONL_SCHEMA,
+    )
+
+
+class TestCsvJsonl:
+    def test_jsonl_roundtrip(self, spark):
+        from kgkit.sources.formats import read_standard_jsonl, write_standard_jsonl
+
+        df = _sample_df(spark)
+        with tempfile.TemporaryDirectory() as d:
+            write_standard_jsonl(df, f"{d}/out")
+            back = read_standard_jsonl(spark, f"{d}/out")
+            got = sorted(
+                (r["text"], tuple(map(tuple, r["tags"] or [])))
+                for r in back.collect()
+            )
+            want = sorted(
+                (r["text"], tuple(tuple(t.values()) for t in r["tags"]))
+                for r in SAMPLE
+            )
+            assert got == want
+
+    def test_csv_roundtrip(self, spark):
+        from kgkit.sources.formats import read_pretokenized_csv, write_pretokenized_csv
+
+        df = spark.createDataFrame(
+            [("O B-PER I-PER", "hej John Doe"), ("O", "hejsan")],
+            "tags string, text string",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            write_pretokenized_csv(df, f"{d}/out")
+            back = read_pretokenized_csv(spark, f"{d}/out")
+            assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+class TestDoccano:
+    def test_to_doccano_matches_reference(self, spark, ref_fc):
+        from kgkit.sources.formats import to_doccano
+
+        want = ref_fc.nerblackbox2doccano([dict(r) for r in SAMPLE])
+        got = [
+            {
+                "text": r["text"],
+                "label": [[x["start"], x["end"], x["label"]] for x in r["label"]],
+            }
+            for r in to_doccano(_sample_df(spark)).collect()
+        ]
+        assert sorted(got, key=str) == sorted(want, key=str)
+
+    def test_doccano_roundtrip_matches_reference(self, spark, ref_fc):
+        from kgkit.sources.formats import from_doccano, to_doccano
+
+        back = from_doccano(to_doccano(_sample_df(spark)))
+        got = [
+            {"text": r["text"],
+             "tags": [t.asDict() for t in r["tags"]]}
+            for r in back.collect()
+        ]
+        want = ref_fc.doccano2nerblackbox(
+            ref_fc.nerblackbox2doccano([dict(r) for r in SAMPLE])
+        )
+        assert sorted(got, key=str) == sorted(want, key=str)
+
+
+class TestLabelStudio:
+    def test_to_labelstudio_matches_reference(self, spark, ref_fc):
+        from kgkit.sources.formats import to_labelstudio
+
+        rows = [(i, r["text"], [tuple(t.values()) for t in r["tags"]])
+                for i, r in enumerate(SAMPLE)]
+        df = spark.createDataFrame(
+            rows, "line_id long, text string, tags array<struct<char_start:int,char_end:int,token:string,tag:string>>"
+        )
+        got_rows = to_labelstudio(df).orderBy("line_id").collect()
+        got = []
+        for r in got_rows:
+            got.append({
+                "data": {"text": r["data"]["text"]},
+                "annotations": [{
+                    "result": [
+                        {
+                            "id": x["id"], "from_name": x["from_name"],
+                            "to_name": x["to_name"], "type": x["type"],
+                            "value": {
+                                "start": x["value"]["start"],
+                                "end": x["value"]["end"],
+                                "text": x["value"]["text"],
+                                "labels": list(x["value"]["labels"]),
+                            },
+                        }
+                        for x in r["annotations"][0]["result"]
+                    ],
+                }],
+            })
+        want = ref_fc.nerblackbox2labelstudio([dict(r) for r in SAMPLE])
+        assert got == want
+
+    def test_labelstudio_roundtrip_matches_reference(self, spark, ref_fc):
+        from kgkit.sources.formats import from_labelstudio, to_labelstudio
+
+        rows = [(i, r["text"], [tuple(t.values()) for t in r["tags"]])
+                for i, r in enumerate(SAMPLE)]
+        df = spark.createDataFrame(
+            rows, "line_id long, text string, tags array<struct<char_start:int,char_end:int,token:string,tag:string>>"
+        )
+        back = from_labelstudio(to_labelstudio(df))
+        got = [
+            {"text": r["text"], "tags": [t.asDict() for t in r["tags"]]}
+            for r in back.collect()
+        ]
+        want = ref_fc.labelstudio2nerblackbox(
+            ref_fc.nerblackbox2labelstudio([dict(r) for r in SAMPLE])
+        )
+        assert sorted(got, key=str) == sorted(want, key=str)
+
+
+class TestConll:
+    @pytest.mark.skipif(not os.path.isfile(REF_CONLL), reason="fixture unavailable")
+    def test_parse_eng_testa(self, spark):
+        from kgkit.sources.conll import read_conll
+
+        df = read_conll(spark, REF_CONLL).orderBy("sentence_id", "pos")
+        rows = df.collect()
+        assert all(r["word"] != "-DOCSTART-" for r in rows)
+        first = [(r["word"], r["tag"]) for r in rows if r["sentence_id"] == rows[0]["sentence_id"]]
+        # IOB1 'I-PER' at sentence start becomes 'B-PER' in IOB2
+        assert first[0] == ("Det", "B-PER")
+        raw = read_conll(spark, REF_CONLL, iob2=False).orderBy(
+            "sentence_id", "pos"
+        ).collect()
+        assert (raw[0]["word"], raw[0]["tag"]) == ("Det", "I-PER")
+        # sentence count = blank-line separated groups with content
+        n_sent = df.select("sentence_id").distinct().count()
+        assert n_sent >= 2
