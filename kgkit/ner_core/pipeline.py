@@ -90,3 +90,60 @@ def predict(
         results.append(records)
 
     return results
+
+
+def predict_proba(
+    input_texts: Union[str, Sequence[str]],
+    is_pretokenized: bool = False,
+    tokenizer: Optional[WordPieceTokenizer] = None,
+    tagger: Optional[GazetteerTagger] = None,
+) -> List[List[Dict[str, str]]]:
+    """Word-level probability predictions (Model.predict_proba,
+    api/model.py:369-400).
+
+    Follows the reference's observable contract exactly, including its
+    quirk: proba distributions ride in the 'tag' field and assert_typing
+    (api/model.py:1507-1528) stringifies them, so the output records are
+    {"char_start","char_end","token","tag": "<str(dict)>"}; tokens the
+    restoration step re-anchors (e.g. [UNK] spans) carry the plain 'O'
+    string.  No autocorrect / entity level (asserted away by the
+    reference, api/model.py:591-594)."""
+    if isinstance(input_texts, str):
+        input_texts = [input_texts]
+    tokenizer = tokenizer or default_tokenizer()
+    tagger = tagger or default_gazetteer()
+
+    texts = list(input_texts)
+    if tokenizer.do_lower_case:
+        texts = [t.lower() for t in texts]
+
+    words_per_doc: List[List[str]] = []
+    pretok_offsets: Optional[List[List[Tuple[int, int]]]] = None if is_pretokenized else []
+    for text in texts:
+        if is_pretokenized:
+            words_per_doc.append(text.split())
+        else:
+            tuples = pretokenize(text)
+            words_per_doc.append([w for w, _ in tuples])
+            pretok_offsets.append([off for _, off in tuples])
+    texts_pretokenized = [" ".join(ws) for ws in words_per_doc]
+
+    results: List[List[Dict[str, str]]] = []
+    for i, words in enumerate(words_per_doc):
+        slices = tokenizer.encode_words(words)
+        slice_probas = [tagger.tag_slice_proba(s) for s in slices]
+        tokens = spans.merge_slices(slices)
+        probas = spans.merge_slices(slice_probas)
+
+        word_preds = spans.merge_subtokens(
+            tokens, probas, tokenizer.special_tokens, tokenizer.tokenizer_type
+        )
+        records = spans.restore_unknown_tokens(word_preds, texts_pretokenized[i])
+        records = [{k: str(v) for k, v in r.items()} for r in records]  # assert_typing
+        records = spans.merge_tokens_to_words(records)
+        if pretok_offsets is not None:
+            records = spans.unpretokenize(records, pretok_offsets[i])
+        records = spans.strip_sentencepiece_marker(records)
+        results.append(records)
+
+    return results

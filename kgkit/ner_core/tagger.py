@@ -87,6 +87,26 @@ class GazetteerTagger:
         return tags
 
 
+    @property
+    def annotation_classes(self) -> List[str]:
+        """Label universe in reference order: 'O' first, rest lexicographic
+        (nerblackbox annotation.py:51-85)."""
+        plain = sorted({t for t in self.gazetteer.values()})
+        return ["O"] + [f"{p}-{c}" for p in ("B", "I") for c in plain]
+
+    def tag_slice_proba(self, subtokens: Sequence[str]) -> List[Dict[str, float]]:
+        """Per-subtoken probability distributions (M3 stand-in for the
+        reference's softmax decode, api/model.py:1161-1186): the chosen
+        tag gets 0.82, the rest share the remainder uniformly —
+        deterministic, argmax-consistent with tag_slice."""
+        classes = self.annotation_classes
+        rest = round(0.18 / (len(classes) - 1), 6)
+        out = []
+        for tag in self.tag_slice(subtokens):
+            out.append({c: (0.82 if c == tag else rest) for c in classes})
+        return out
+
+
 _DEFAULT: Optional[GazetteerTagger] = None
 
 

@@ -86,3 +86,58 @@ class TestPredict:
         assert [(r["token"], r["tag"]) for r in results[0]] == [("spark", "TECH")]
         assert results[1] == []
         assert [(r["token"], r["tag"]) for r in results[2]] == [("join", "OP")]
+
+
+class TestPredictProba:
+    """Model.predict_proba parity (api/model.py:369-400): word level,
+    stringified proba dicts in 'tag' (assert_typing quirk)."""
+
+    def test_offsets_match_word_level(self):
+        from kgkit.ner_core.pipeline import predict_proba
+
+        text = "the spark hash join runs"
+        [words] = predict(text, level="word")
+        [probas] = predict_proba(text)
+        assert [(r["char_start"], r["char_end"], r["token"]) for r in words] == [
+            (r["char_start"], r["char_end"], r["token"]) for r in probas
+        ]
+
+    def test_argmax_consistent_with_predict(self):
+        import ast
+
+        from kgkit.ner_core.pipeline import predict_proba
+
+        text = "spark join value"
+        [words] = predict(text, level="word")
+        [probas] = predict_proba(text)
+        for w, p in zip(words, probas):
+            dist = ast.literal_eval(p["tag"])
+            if isinstance(dist, dict):
+                assert max(dist, key=dist.get) == w["tag"]
+                assert sum(dist.values()) == pytest.approx(1.0, abs=1e-4)
+            else:  # restored-span records carry plain 'O'
+                assert p["tag"] == "O" == w["tag"]
+
+    def test_unknown_token_restored_with_own_dist(self):
+        # a re-anchored [UNK] keeps ITS prediction (the dict) — only
+        # leftover inserted spans get plain 'O' (api/model.py:1261-1504)
+        import ast
+
+        from kgkit.ner_core.pipeline import predict_proba
+
+        text = "spark 懿貴妃 join"
+        [probas] = predict_proba(text)
+        by_token = {r["token"]: r for r in probas}
+        assert "懿貴妃" in by_token
+        r = by_token["懿貴妃"]
+        assert text[int(r["char_start"]):int(r["char_end"])] == "懿貴妃"
+        dist = ast.literal_eval(r["tag"])
+        assert max(dist, key=dist.get) == "O"
+
+    def test_all_values_are_strings(self):
+        from kgkit.ner_core.pipeline import predict_proba
+
+        [probas] = predict_proba("customer stream")
+        assert all(
+            isinstance(v, str) for r in probas for v in r.values()
+        )
