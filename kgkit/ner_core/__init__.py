@@ -30,6 +30,7 @@ from kgkit.ner_core.spans import (
     resolve_overlapping_tags,
 )
 from kgkit.ner_core.pretokenize import pretokenize
+from kgkit.ner_core.text_codec import TextCodec
 from kgkit.ner_core.wordpiece import WordPieceTokenizer, default_tokenizer
 from kgkit.ner_core.tagger import GazetteerTagger, default_gazetteer
 from kgkit.ner_core.pipeline import predict
@@ -54,6 +55,7 @@ __all__ = [
     "strip_sentencepiece_marker",
     "resolve_overlapping_tags",
     "pretokenize",
+    "TextCodec",
     "WordPieceTokenizer",
     "default_tokenizer",
     "GazetteerTagger",
