@@ -61,6 +61,37 @@ def write_standard_jsonl(df: DataFrame, path: str) -> None:
     df.select("text", "tags").write.mode("overwrite").json(path)
 
 
+def write_predictions_jsonl(pages: DataFrame, mentions: DataFrame, path: str) -> None:
+    """K3 prediction-file sink (Model.predict_on_file, api/model.py:282-307):
+    one {"text", "tags": [predictions]} line per page; pages with no
+    mentions get an empty tags array."""
+    tags = (
+        mentions.groupBy("url")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("char_start").cast("int").alias("char_start"),
+                        F.col("char_end").cast("int").alias("char_end"),
+                        F.col("surface").alias("token"),
+                        F.col("tag").alias("tag"),
+                    )
+                )
+            ).alias("tags")
+        )
+    )
+    (
+        pages.select("url", "text")
+        .join(tags, "url", "left")
+        .select(
+            "text",
+            F.coalesce("tags", F.array().cast(T.ArrayType(TAG_STRUCT))).alias("tags"),
+        )
+        .write.mode("overwrite")
+        .json(path)
+    )
+
+
 # ---------------------------------------------------------------------------
 # P8 — doccano
 # ---------------------------------------------------------------------------

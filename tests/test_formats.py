@@ -182,3 +182,80 @@ class TestConll:
         # sentence count = blank-line separated groups with content
         n_sent = df.select("sentence_id").distinct().count()
         assert n_sent >= 2
+
+
+class TestFunctionsTags:
+    def test_apply_tag_mapping(self, spark):
+        from pyspark.sql import functions as F
+
+        from kgkit.functions.tags import apply_tag_mapping
+
+        df = spark.createDataFrame(
+            [("B-PER",), ("B-ORG",), ("0",), ("O",)], "tag string"
+        )
+        got = [
+            r["m"]
+            for r in df.select(
+                apply_tag_mapping(
+                    F.col("tag"), {"B-PER": "B-PI"}, default_to_o=True
+                ).alias("m")
+            ).collect()
+        ]
+        assert got == ["B-PI", "O", "O", "O"]
+        got2 = [
+            r["m"]
+            for r in df.select(
+                apply_tag_mapping(F.col("tag"), {"B-PER": "B-PI"}).alias("m")
+            ).collect()
+        ]
+        assert got2 == ["B-PI", "B-ORG", "O", "O"]
+
+    def test_shift_spans(self, spark):
+        from pyspark.sql import functions as F
+
+        from kgkit.functions.tags import shift_spans
+
+        df = spark.createDataFrame(
+            [([(10, 14, "join", "OP")], 10)],
+            "tags array<struct<char_start:int,char_end:int,token:string,tag:string>>, delta int",
+        )
+        [r] = df.select(shift_spans(F.col("tags"), F.col("delta")).alias("t")).collect()
+        assert tuple(r["t"][0]) == (0, 4, "join", "OP")
+
+    def test_seeded_shuffle_deterministic(self, spark):
+        from kgkit.functions.tags import seeded_shuffle
+
+        df = spark.range(50).withColumnRenamed("id", "k")
+        a = [r["k"] for r in seeded_shuffle(df, "k", 4).collect()]
+        b = [r["k"] for r in seeded_shuffle(df, "k", 4).collect()]
+        c = [r["k"] for r in seeded_shuffle(df, "k", 5).collect()]
+        assert a == b and a != c and sorted(a) == list(range(50))
+
+    def test_split_fractions(self, spark):
+        from kgkit.functions.tags import split_fractions
+
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        out = split_fractions(
+            df, "k", {"train": (0.0, 0.8), "val": (0.8, 0.9), "test": (0.9, 1.0)}
+        )
+        counts = {r["phase"]: r["count"] for r in out.groupBy("phase").count().collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+        assert sum(counts.values()) == 1000
+
+    def test_write_predictions_jsonl(self, spark):
+        import tempfile
+
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.sources.formats import read_standard_jsonl, write_predictions_jsonl
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+
+        pages = pages_for_mentions(load_pages(spark, "/root/testdata/sf0.001")).limit(50)
+        pages = pages.cache()
+        mentions = detect_mentions(pages)
+        with tempfile.TemporaryDirectory() as d:
+            write_predictions_jsonl(pages, mentions, f"{d}/preds")
+            back = read_standard_jsonl(spark, f"{d}/preds")
+            assert back.count() == 50
+            n_tags = back.selectExpr("sum(size(tags)) s").collect()[0]["s"]
+            assert n_tags == mentions.count()
