@@ -407,6 +407,81 @@ def ner_metrics(
     return result
 
 
+def confusion_matrix(df: DataFrame) -> DataFrame:
+    """A7: square confusion pivot over plain tags
+    (ner_model_evaluation.py:512-559) — one groupBy + pivot."""
+    plain = df.select(
+        F.regexp_replace("true", "^[BILU]-", "").alias("true"),
+        F.regexp_replace("pred", "^[BILU]-", "").alias("pred"),
+    )
+    return (
+        plain.groupBy("true")
+        .pivot("pred")
+        .count()
+        .na.fill(0)
+        .orderBy("true")
+    )
+
+
+def metrics_fanout(
+    df: DataFrame,
+    scheme: str,
+    classes: Optional[List[str]] = None,
+) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """A9 per-subset metric fan-out (ner_model_evaluation.py:301-396):
+    [level][subset] -> metrics for subsets 'all' (token only), 'fil'
+    (non-O classes) and each individual class.
+
+    ONE distributed pass per level — the reference loops NerMetrics per
+    subset over the same arrays; here every subset is derived from the
+    single collected confusion / chunk-count table (SURVEY §2.8 A9)."""
+    conf = [
+        (r["true"], r["pred"], r["n"]) for r in token_confusion(df).collect()
+    ]
+    if classes is None:
+        classes = sorted(
+            {c for t, p, _ in conf for c in (t, p) if c != "O"}
+        )
+    token: Dict[str, Dict[str, float]] = {
+        "all": token_metrics_from_confusion(conf),
+        "fil": token_metrics_from_confusion(conf, classes),
+    }
+    for c in classes:
+        token[c] = token_metrics_from_confusion(conf, [c])
+
+    counts = [
+        (r["cls"], r["tp"], r["fp"], r["fn"])
+        for r in entity_class_counts(df, scheme).collect()
+    ]
+    plain_classes = sorted({c.split("-")[-1] for c in classes})
+    entity: Dict[str, Dict[str, float]] = {
+        "fil": entity_metrics_from_counts(counts)
+    }
+    for c in plain_classes:
+        entity[c] = entity_metrics_from_counts(counts, c)
+
+    return {"token": token, "entity": entity}
+
+
+def classification_report(
+    df: DataFrame, scheme: str, classes: Optional[List[str]] = None
+) -> str:
+    """A8: text report (ner_model_evaluation.py:445-510) assembled from
+    the fan-out — per-class and micro/macro P/R/F1 at both levels."""
+    fan = metrics_fanout(df, scheme, classes)
+    lines = []
+    for level in ("token", "entity"):
+        lines.append(f"== {level} level ==")
+        lines.append(f"{'subset':>12} {'precision':>10} {'recall':>10} {'f1':>10}")
+        for subset, m in fan[level].items():
+            lines.append(
+                f"{subset:>12} {m['precision_micro']:>10.4f} "
+                f"{m['recall_micro']:>10.4f} {m['f1_micro']:>10.4f}"
+            )
+        lines.append("")
+    return "\n".join(lines)
+
+
 def evaluation_dict(
     df: DataFrame, scheme: str = "bio", classes: Optional[List[str]] = None
 ) -> Dict[str, Dict[str, Dict[str, Optional[float]]]]:

@@ -187,3 +187,53 @@ class TestChunksAndAsr:
         assert d["micro"]["entity"]["recall"] == 0.0
         assert d["micro"]["token"]["precision"] == 1.0
         assert d["micro"]["token"]["recall"] == pytest.approx(0.5)
+
+
+class TestFanoutAndReports:
+    def test_confusion_matrix_pivot(self, spark):
+        from kgkit.metrics.ner_metrics import confusion_matrix
+
+        df = _stream_df(spark, ["A", "A", "O", "B"], ["A", "O", "O", "B"])
+        rows = {r["true"]: r.asDict() for r in confusion_matrix(df).collect()}
+        assert rows["A"]["A"] == 1 and rows["A"]["O"] == 1
+        assert rows["B"]["B"] == 1 and rows["O"]["O"] == 1
+
+    def test_metrics_fanout_subsets(self, spark):
+        from kgkit.metrics.ner_metrics import metrics_fanout
+
+        df = _stream_df(spark, ["A", "A", "O", "B"], ["A", "A", "O", "O"])
+        fan = metrics_fanout(df, "plain")
+        assert set(fan) == {"token", "entity"}
+        assert set(fan["token"]) == {"all", "fil", "A", "B"}
+        assert fan["token"]["A"]["precision_micro"] == 1.0
+        assert fan["token"]["B"]["precision_micro"] == -1.0  # never predicted
+        assert fan["entity"]["A"]["recall_micro"] == 1.0
+        assert fan["entity"]["B"]["recall_micro"] == 0.0
+
+    def test_classification_report_renders(self, spark):
+        from kgkit.metrics.ner_metrics import classification_report
+
+        df = _stream_df(spark, ["A", "O"], ["A", "O"])
+        rep = classification_report(df, "plain")
+        assert "token level" in rep and "entity level" in rep and "fil" in rep
+
+
+class TestAnnotationRepair:
+    def test_bio_completeness(self):
+        from kgkit.metrics.annotation import repair_and_sort
+
+        scheme, classes = repair_and_sort(["B-PER", "O", "B-ORG", "I-PER"])
+        assert scheme == "bio"
+        assert classes == ["O", "B-ORG", "B-PER", "I-ORG", "I-PER"]
+
+    def test_bilou_completeness(self):
+        from kgkit.metrics.annotation import repair_and_sort
+
+        scheme, classes = repair_and_sort(["B-X", "U-Y"])
+        assert scheme == "bilou"
+        assert classes == ["O", "B-X", "I-X", "L-X", "U-X", "U-Y"]
+
+    def test_plain_passthrough(self):
+        from kgkit.metrics.annotation import repair_and_sort
+
+        assert repair_and_sort(["PER", "O"]) == ("plain", ["O", "PER"])

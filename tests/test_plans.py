@@ -1,0 +1,82 @@
+"""Physical-plan regression tests — the plan IS the product at 100 TB.
+
+Pins the properties that make the pipeline scale: column pruning at the
+scan (never read unused columns in stage 1), filter pushdown into
+parquet, zero exchanges in the linking stage, and single execution of
+the stage-1 Arrow UDF in the fused triples chain."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanShape:
+    SF = "/root/testdata/sf0.001"
+
+    def test_stage1_scan_prunes_columns(self, spark):
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+
+        plan = _executed_plan(
+            detect_mentions(pages_for_mentions(load_pages(spark, self.SF)))
+        )
+        scan = [l for l in plan.splitlines() if "FileScan" in l]
+        assert scan, plan
+        # stage 1 needs doc_id (for the url) and text — never the other
+        # document columns (source / n_chars / lang at this projection)
+        assert "n_chars" not in scan[0]
+        assert "source" not in scan[0]
+
+    def test_filter_pushdown_q1(self, spark):
+        from kgkit.queries import QUERIES
+
+        plan = _executed_plan(QUERIES["q1_pricing_summary"](spark, self.SF))
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_linking_has_no_mention_shuffle(self, spark):
+        """Stage 2 must be broadcast-joins-only over the mention stream:
+        no Exchange between the stage-1 UDF and the linked output."""
+        from kgkit.operators.linking import link_mentions
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        pages = pages_for_mentions(load_pages(spark, self.SF))
+        plan = _executed_plan(link_mentions(detect_mentions(pages), emb))
+        lines = plan.splitlines()
+        udf_depth = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+        assert udf_depth, plan
+        # every Exchange above the UDF line must be a BroadcastExchange
+        for line in lines[: udf_depth[0]]:
+            if "Exchange" in line:
+                assert "BroadcastExchange" in line, line
+
+    def test_triples_runs_stage1_udf_once(self, spark):
+        """The fused chain caches the url-partitioned frame: both union
+        branches read the cache (InMemoryTableScan), and the stage-1 UDF
+        appears in exactly one cached subtree."""
+        from kgkit.operators.canonicalize import canonical_map
+        from kgkit.operators.linking import link_mentions
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.operators.triples import assemble_triples
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        pages = pages_for_mentions(load_pages(spark, self.SF))
+        triples = assemble_triples(
+            link_mentions(detect_mentions(pages), emb), canonical_map(spark)
+        )
+        plan = _executed_plan(triples)
+        # both branches read the cache; the UDF lives inside the cached
+        # relation (the plan STRING repeats the cached child per scan,
+        # but execution materializes it once — tests/test_stages and the
+        # scaling bench pin the wall-clock consequence)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        for line in plan.splitlines():
+            if "MapInPandas" in line:
+                assert "InMemoryRelation" in plan, plan
+                break
