@@ -237,3 +237,37 @@ class TestAnnotationRepair:
         from kgkit.metrics.annotation import repair_and_sort
 
         assert repair_and_sort(["PER", "O"]) == ("plain", ["O", "PER"])
+
+
+class TestEvaluateOnDataset:
+    def test_perfect_and_imperfect(self, spark):
+        from kgkit.metrics.evaluate import evaluate_on_dataset
+
+        # gazetteer predicts B-TECH for 'spark', B-OP for 'join';
+        # row 1 ground truth agrees, row 2 disagrees on one token
+        ds = spark.createDataFrame(
+            [
+                ("B-TECH O B-OP", "spark likes join"),
+                ("B-TECH O O", "spark eats join"),
+            ],
+            "tags string, text string",
+        )
+        d = evaluate_on_dataset(ds, scheme="bio")
+        # 6 tokens, 1 wrong ('join' true=O pred=B-OP in row 2)
+        assert d["micro"]["token"]["precision"] == pytest.approx(5 / 6)
+        assert d["micro"]["token"]["recall"] == pytest.approx(5 / 6)
+        # entities: true {TECH, OP, TECH}, pred {TECH, OP, TECH, OP}
+        assert d["micro"]["entity"]["recall"] == pytest.approx(1.0)
+        assert d["micro"]["entity"]["precision"] == pytest.approx(3 / 4)
+
+    def test_perfect_dataset(self, spark):
+        from kgkit.metrics.evaluate import evaluate_on_dataset
+
+        ds = spark.createDataFrame(
+            [("B-TECH O B-OP O", "spark likes join fast")],
+            "tags string, text string",
+        )
+        d = evaluate_on_dataset(ds, scheme="bio")
+        assert d["micro"]["entity"]["precision"] == 1.0
+        assert d["micro"]["entity"]["recall"] == 1.0
+        assert d["micro"]["token"]["f1"] == 1.0
