@@ -486,6 +486,43 @@ ORACLES = {
                round(sum(value), 4) AS total_value
         FROM events GROUP BY 1, 2
     """,
+    "q5_local_supplier": """
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey ASC
+        LIMIT 20
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -684,6 +721,58 @@ ORACLES = {
         scored AS (
             SELECT q.query_id, c.neighbor_id, {_COS_SQL} AS cos
             FROM queries q JOIN corpus c ON q.bucket = c.bucket
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
+    """,
+    "ann_topk_ivf": """
+        WITH corpus AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id >= 10
+        ),
+        queries AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 10
+        ),
+        cents AS (
+            SELECT neighbor_id AS cell, ce AS cell_emb
+            FROM corpus ORDER BY neighbor_id LIMIT 8
+        ),
+        cassign AS (
+            SELECT neighbor_id, ce, cell FROM (
+                SELECT c.neighbor_id, c.ce, t.cell,
+                       row_number() OVER (
+                           PARTITION BY c.neighbor_id
+                           ORDER BY list_dot_product(c.ce, t.cell_emb)
+                                 / (sqrt(list_dot_product(c.ce, c.ce))
+                                  * sqrt(list_dot_product(t.cell_emb, t.cell_emb)))
+                                 DESC, t.cell ASC) AS crnk
+                FROM corpus c CROSS JOIN cents t
+            ) WHERE crnk <= 1
+        ),
+        qassign AS (
+            SELECT query_id, qe, cell FROM (
+                SELECT q.query_id, q.qe, t.cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.qe, t.cell_emb)
+                                 / (sqrt(list_dot_product(q.qe, q.qe))
+                                  * sqrt(list_dot_product(t.cell_emb, t.cell_emb)))
+                                 DESC, t.cell ASC) AS crnk
+                FROM queries q CROSS JOIN cents t
+            ) WHERE crnk <= 2
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   max(round(list_dot_product(qe, ce)
+                       / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 6)) AS cos
+            FROM qassign q JOIN cassign c USING (cell)
+            GROUP BY query_id, neighbor_id
         )
         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
         FROM (

@@ -275,6 +275,22 @@ def _dedup_embedding_q(spark, sf_dir):
     )
 
 
+def _ann_topk_ivf_q(spark, sf_dir):
+    """IVF-bucketed ANN (coarse quantizer + in-cell exact search)."""
+    from kgkit.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return ivf_topk(queries, corpus, k=3).select(
+        F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"), "rank"
+    )
+
+
 def _ann_topk_lsh_q(spark, sf_dir):
     """Sign-LSH bucketed ANN (the scale path next to brute-force ann_topk)."""
     from kgkit.operators.similarity import lsh_topk
@@ -430,6 +446,76 @@ def _q3_q(spark, sf_dir):
     )
 
 
+def _q5_q(spark, sf_dir):
+    """TPC-H Q5-style local-supplier volume: fact table joined against a
+    chain of BROADCAST dimensions (region->nation->customer/supplier) —
+    the canonical star-join the optimizer must keep broadcast at 100 TB."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dims = (
+        nation.join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+def _q6_q(spark, sf_dir):
+    """TPC-H Q6 forecasting revenue — pure scan+filter+agg; the filters
+    must reach the parquet scan (PushedFilters)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+def _q10_q(spark, sf_dir):
+    """TPC-H Q10-style returned-item report: top-20 customers by lost
+    revenue (join + agg + ranked limit)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def _ann_topk_q(spark, sf_dir):
     """Brute-force cosine top-k (the exact baseline; the LSH-bucketed
     scale path lives in kgkit/operators/similarity.py)."""
@@ -474,6 +560,7 @@ QUERIES = {
     "dedup_ngram_jaccard": _dedup_ngram_jaccard_q,
     "dedup_embedding_cosine": _dedup_embedding_q,
     "ann_topk_lsh": _ann_topk_lsh_q,
+    "ann_topk_ivf": _ann_topk_ivf_q,
     "media_stats": _media_stats_q,
     "media_frame_sample": _media_frame_sample_q,
     "media_byte_histogram": _media_byte_histogram_q,
@@ -482,5 +569,8 @@ QUERIES = {
     "events_hourly": _events_hourly_q,
     "q1_pricing_summary": _q1_q,
     "q3_shipping_priority": _q3_q,
+    "q5_local_supplier": _q5_q,
+    "q6_forecast_revenue": _q6_q,
+    "q10_returned_items": _q10_q,
     "ann_topk": _ann_topk_q,
 }

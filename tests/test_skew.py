@@ -1,0 +1,85 @@
+"""North-rule skew evidence: the Zipf-head hub entity is handled by
+construction, not by luck.
+
+Two mechanisms, both asserted here:
+  1. linking never shuffles mention rows (hub mentions resolve in the
+     broadcast join) — pinned plan-side in tests/test_plans.py;
+  2. entity-keyed aggregation splits the hub key across n_salts partial
+     groups BEFORE the final combine (kgkit/operators/triples.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestSkewSalting:
+    def test_hub_entity_splits_across_salts(self, spark):
+        from kgkit.operators.canonicalize import canonical_map
+        from kgkit.operators.linking import link_mentions
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.operators.triples import assemble_triples
+        from kgkit.sources.pages import synth_pages, pages_for_mentions
+
+        pages = pages_for_mentions(synth_pages(spark, 600, zipf_hub_every=2))
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        triples = assemble_triples(
+            link_mentions(detect_mentions(pages), emb), canonical_map(spark)
+        )
+        n_salts = 8
+        salted = triples.withColumn(
+            "salt", F.pmod(F.xxhash64("url", "char_start"), F.lit(n_salts))
+        )
+        # the hub entity Q5 must occupy (nearly) every salt bucket in the
+        # partial aggregation — i.e. no single reducer sees all its rows
+        hub = (
+            salted.filter(F.col("obj") == "Q5")
+            .groupBy("salt").count().collect()
+        )
+        assert len(hub) >= n_salts - 1, hub
+        counts = [r["count"] for r in hub]
+        assert max(counts) < sum(counts) * 0.5  # no bucket dominates
+
+    def test_salted_counts_equal_plain_counts(self, spark):
+        """Salting is a physical rewrite — logical result identical."""
+        from kgkit.operators.canonicalize import canonical_map
+        from kgkit.operators.linking import link_mentions
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.operators.triples import assemble_triples, salted_entity_counts
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+
+        pages = pages_for_mentions(load_pages(spark, "/root/testdata/sf0.001"))
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        triples = assemble_triples(
+            link_mentions(detect_mentions(pages), emb), canonical_map(spark)
+        ).cache()
+        want = {
+            r["obj"]: r["n"]
+            for r in triples.groupBy("obj").agg(F.count("*").alias("n")).collect()
+        }
+        got = {
+            r["obj"]: r["n_triples"]
+            for r in salted_entity_counts(triples).collect()
+        }
+        triples.unpersist()
+        assert got == want
+
+    def test_zipf_head_is_real_in_fixture(self, spark):
+        """The synthetic corpus actually plants the skew the north rule
+        wants handled: the hub entity dominates the tail."""
+        from kgkit.operators.canonicalize import canonical_map
+        from kgkit.operators.linking import link_mentions
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.operators.triples import assemble_triples, salted_entity_counts
+        from kgkit.sources.pages import synth_pages, pages_for_mentions
+
+        pages = pages_for_mentions(synth_pages(spark, 400, zipf_hub_every=2))
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        counts = salted_entity_counts(
+            assemble_triples(
+                link_mentions(detect_mentions(pages), emb), canonical_map(spark)
+            )
+        ).collect()
+        assert counts[0]["obj"] == "Q5"  # canonical hub ('join' ∪ 'hash join')
+        tail = [r["n_triples"] for r in counts[1:]]
+        assert counts[0]["n_triples"] > 1.3 * max(tail)  # clear Zipf head
