@@ -523,6 +523,38 @@ ORACLES = {
         ORDER BY revenue DESC, c.c_custkey ASC
         LIMIT 20
     """,
+    "q14_promo_revenue": """
+        SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+    "user_sessions": """
+        WITH g AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts) AS session_no
+            FROM g
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(session_no AS BIGINT) AS session_no,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total_value,
+               min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM s GROUP BY user_id, session_no
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -398,6 +398,58 @@ def _iob1_roundtrip_q(spark, sf_dir):
     )
 
 
+def _q14_q(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share: fact ⋈ broadcast(part) with a
+    conditional aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+                        .otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def _user_sessions_q(spark, sf_dir):
+    """Sessionization of the events table with a 30-minute inactivity
+    gap — batch twin of the stateful streaming operator
+    (kgkit/streaming/sessions.py): window cumsum over gap flags."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # integer-second gap on both engines (unix_timestamp == floor(epoch))
+    epoch = F.unix_timestamp("ts")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (
+        events.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("session_no", F.sum("new_session").over(w))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    ).select(
+        F.col("user_id").cast("long"),
+        F.col("session_no").cast("long"),
+        "n_events", "total_value", "session_start", "session_end",
+    )
+
+
 def _events_hourly_q(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.groupBy(
@@ -567,6 +619,8 @@ QUERIES = {
     "tags_bilou": _tags_bilou_q,
     "iob1_roundtrip": _iob1_roundtrip_q,
     "events_hourly": _events_hourly_q,
+    "q14_promo_revenue": _q14_q,
+    "user_sessions": _user_sessions_q,
     "q1_pricing_summary": _q1_q,
     "q3_shipping_priority": _q3_q,
     "q5_local_supplier": _q5_q,

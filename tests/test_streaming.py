@@ -79,3 +79,49 @@ class TestStreamingMentions:
             "window_start", "window_end", "tag", "n"
         ]
         assert counts.isStreaming
+
+
+class TestStatefulSessions:
+    def test_stream_sessions_match_batch_closed_sessions(self, spark, tmp_path):
+        """applyInPandasWithState sessions == batch sessionization minus
+        each user's open (last) session."""
+        from kgkit.queries import QUERIES
+        from kgkit.streaming.sessions import sessionize_stream
+
+        sf = "/root/testdata/sf0.001"
+        # single file -> one micro-batch -> deterministic per-user order
+        landing = str(tmp_path / "events")
+        spark.read.parquet(f"{sf}/events.parquet").coalesce(1).write.parquet(landing)
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ).parquet(landing)
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory").queryName("sessions")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"]):
+                (r["n_events"], round(r["total_value"], 4))
+            for r in spark.sql("select * from sessions").collect()
+        }
+
+        batch = QUERIES["user_sessions"](spark, sf).collect()
+        # drop each user's last (still-open) session
+        last_per_user = {}
+        for r in batch:
+            cur = last_per_user.get(r["user_id"])
+            if cur is None or r["session_no"] > cur["session_no"]:
+                last_per_user[r["user_id"]] = r
+        want = {
+            (r["user_id"], r["session_start"], r["session_end"]):
+                (r["n_events"], round(r["total_value"], 4))
+            for r in batch
+            if last_per_user[r["user_id"]]["session_no"] != r["session_no"]
+        }
+        assert got == want and len(got) > 0
