@@ -35,6 +35,21 @@ def is_whitespace(ch: str) -> bool:
     return unicodedata.category(ch) == "Zs"
 
 
+# per-char class cache: 0 = word char, 1 = whitespace, 2 = punctuation.
+# The predicates above are pure, so memoizing them is behavior-neutral;
+# real text draws from a small alphabet, making this the hot-loop win.
+_CHAR_CLASS: dict = {}
+
+
+def _char_class(ch: str) -> int:
+    cls = _CHAR_CLASS.get(ch)
+    if cls is None:
+        cls = 1 if is_whitespace(ch) else 2 if is_punctuation(ch) else 0
+        if len(_CHAR_CLASS) < 65536:
+            _CHAR_CLASS[ch] = cls
+    return cls
+
+
 def pretokenize(text: str) -> List[WordTuple]:
     """Split ``text`` into words with char offsets.
 
@@ -44,11 +59,12 @@ def pretokenize(text: str) -> List[WordTuple]:
     words: List[WordTuple] = []
     start = None
     for i, ch in enumerate(text):
-        if is_whitespace(ch):
+        cls = _char_class(ch)
+        if cls == 1:  # whitespace
             if start is not None:
                 words.append((text[start:i], (start, i)))
                 start = None
-        elif is_punctuation(ch):
+        elif cls == 2:  # punctuation
             if start is not None:
                 words.append((text[start:i], (start, i)))
                 start = None

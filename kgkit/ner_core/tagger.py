@@ -68,12 +68,13 @@ class GazetteerTagger:
 
     def _tag_words(self, words: List[str]) -> List[str]:
         """Greedy left-to-right longest-match BIO tagging over words."""
+        lowered = [w.lower() for w in words]  # once, not per phrase probe
         tags = ["O"] * len(words)
         i = 0
         while i < len(words):
             matched = False
             for ln in range(min(self.max_phrase_len, len(words) - i), 0, -1):
-                phrase = tuple(w.lower() for w in words[i: i + ln])
+                phrase = tuple(lowered[i: i + ln])
                 etype = self.gazetteer.get(phrase)
                 if etype is not None:
                     tags[i] = f"B-{etype}"

@@ -65,10 +65,23 @@ class WordPieceTokenizer:
         self.max_seq_length = max_seq_length
         self.max_pieces_per_word = max_pieces_per_word
         self.special_tokens = list(SPECIAL_TOKENS)
+        self._word_cache: Dict[str, List[str]] = {}
 
     # -- word -> pieces -----------------------------------------------------
     def tokenize_word(self, word: str) -> List[str]:
-        """Greedy longest-prefix match; whole word -> [UNK] on any failure."""
+        """Greedy longest-prefix match; whole word -> [UNK] on any failure.
+
+        Memoized per word: tokenization is pure, word frequency is
+        Zipfian, and callers never mutate the returned list."""
+        cached = self._word_cache.get(word)
+        if cached is not None:
+            return cached
+        pieces = self._tokenize_word_uncached(word)
+        if len(self._word_cache) < 262_144:
+            self._word_cache[word] = pieces
+        return pieces
+
+    def _tokenize_word_uncached(self, word: str) -> List[str]:
         pieces: List[str] = []
         pos = 0
         while pos < len(word):

@@ -103,7 +103,7 @@ def worker(cpus: int, path: str, sf_dir: str) -> None:
         # static per job, so production amortizes its CC fixpoint once —
         # both parallelism levels get the same treatment.
         walls = []
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             walls.append(full_pipeline())
         wall = min(walls)
