@@ -407,6 +407,20 @@ def ner_metrics(
     return result
 
 
+def average_runs(values: Sequence[float]):
+    """A11 run averaging: mean ± dmean (= population std / sqrt(N)) with
+    the reference's sentinel behavior — (-1, None) for no runs, (v, None)
+    for a single run (util_functions.py:258-274)."""
+    n = len(values)
+    if n == 0:
+        return -1, None
+    if n == 1:
+        return values[0], None
+    mean = sum(values) / n
+    var = sum((v - mean) ** 2 for v in values) / n  # population, like np.std
+    return float(mean), float((var ** 0.5) / (n ** 0.5))
+
+
 def confusion_matrix(df: DataFrame) -> DataFrame:
     """A7: square confusion pivot over plain tags
     (ner_model_evaluation.py:512-559) — one groupBy + pivot."""

@@ -271,3 +271,13 @@ class TestEvaluateOnDataset:
         assert d["micro"]["entity"]["precision"] == 1.0
         assert d["micro"]["entity"]["recall"] == 1.0
         assert d["micro"]["token"]["f1"] == 1.0
+
+
+class TestAverageRuns:
+    def test_reference_semantics(self):
+        from kgkit.metrics.ner_metrics import average_runs
+
+        assert average_runs([]) == (-1, None)
+        assert average_runs([0.9]) == (0.9, None)
+        mean, dmean = average_runs([1.0, 2.0])
+        assert mean == 1.5 and dmean == pytest.approx(0.5 / 2 ** 0.5)
