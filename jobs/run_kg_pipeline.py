@@ -6,10 +6,10 @@ Usage (north rule: multi-executor via --py-files; local example):
     spark-submit --py-files dist/kgkit.zip \\
         jobs/run_kg_pipeline.py \\
         --pages /root/testdata/sf0.001 \\
-        --out /tmp/kg_run_1 [--buckets 64] [--resume]
+        --out /tmp/kg_run_1 [--buckets 64]
 
 On a cluster the same invocation runs with --master yarn/k8s; the job
-itself is master-agnostic.  Stages are checkpoint-resumable: re-running
+itself is master-agnostic.  Resume is implicit (no flag): re-running
 with the same --out skips stages whose _SUCCESS marker exists
 (kgkit/plans/stages.py), and per-partition lineage rows accumulate in
 <out>/_lineage.  Exit prints a one-line JSON summary.

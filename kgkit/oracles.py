@@ -30,16 +30,20 @@ def _chunks_sql(src: str) -> str:
                             THEN 0 ELSE 1 END)
                        OVER (PARTITION BY doc_id ORDER BY pos) AS run
             FROM (
+                -- class = text after the LAST hyphen, the twin of the
+                -- engine's substring_index(tag, '-', -1) (and the
+                -- reference's split('-')[-1]): substr(tag, 3) would
+                -- diverge for classes containing '-' (e.g. B-MISC-SUB)
                 SELECT doc_id, pos,
                        CASE WHEN tag = 'O' THEN 'O'
                             ELSE substr(tag, 1, 1) END AS kind,
                        CASE WHEN tag = 'O' THEN 'O'
-                            ELSE substr(tag, 3) END AS cls,
+                            ELSE regexp_extract(tag, '([^-]+)$', 1) END AS cls,
                        lag(CASE WHEN tag = 'O' THEN 'O'
                                 ELSE substr(tag, 1, 1) END)
                            OVER (PARTITION BY doc_id ORDER BY pos) AS pkind,
                        lag(CASE WHEN tag = 'O' THEN 'O'
-                                ELSE substr(tag, 3) END)
+                                ELSE regexp_extract(tag, '([^-]+)$', 1) END)
                            OVER (PARTITION BY doc_id ORDER BY pos) AS pcls
                 FROM {src}
             )
@@ -226,13 +230,16 @@ docs2 AS (
 
 SHINGLED_CTE = """
 shingled AS (
+    -- docs with < 3 words are dropped, matching the Spark-side guard
+    -- in kgkit.operators.dedup.with_shingles
     SELECT doc_id,
            list_distinct(list_transform(
-               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+               range(1, len(string_split(text, ' ')) - 1),
                i -> string_split(text, ' ')[i] || ' ' ||
                     string_split(text, ' ')[i+1] || ' ' ||
                     string_split(text, ' ')[i+2])) AS sh
     FROM docs2
+    WHERE len(string_split(text, ' ')) >= 3
 )
 """
 
@@ -599,6 +606,25 @@ ORACLES = {
                md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64))
                    AS frame_digest
         FROM idx WHERE frame_idx % 4 = 0
+    """,
+    # html == utf-8 bytes of text, and the corpus is ASCII-only
+    # ([a-z ] words): per-character codepoints == per-byte values, so
+    # the byte histogram is exactly expressible over text in SQL.
+    "media_byte_histogram": """
+        WITH ch AS (
+            SELECT 'doc://' || doc_id AS url, text,
+                   strlen(text) AS total,
+                   unnest(range(1, strlen(text) + 1)) AS i
+            FROM documents WHERE strlen(text) > 0
+        ),
+        b AS (
+            SELECT url, CAST(ord(substr(text, CAST(i AS INT), 1)) // 16 AS INT)
+                       AS bin,
+                   count(*) AS n, any_value(total) AS total
+            FROM ch GROUP BY url, bin
+        )
+        SELECT url, bin, round(n / CAST(total AS DOUBLE), 6) AS weight
+        FROM b
     """,
     "tags_bilou": f"""
         WITH {WORDS_CTE}, {MARKED_CTE},

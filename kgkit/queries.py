@@ -339,11 +339,14 @@ def _media_frame_sample_q(spark, sf_dir):
 
 def _media_byte_histogram_q(spark, sf_dir):
     """Vectorized numpy feature extraction from binary media (Arrow
-    batches; stands where an image-embedding model would run).  No SQL
-    oracle — the driver records a rows-only check."""
+    batches; stands where an image-embedding model would run) —
+    exploded to (url, bin, weight) rows so the result is flat/hashable
+    and carries a full DuckDB oracle."""
     from kgkit.operators.multimodal import byte_histogram_features
 
-    return byte_histogram_features(load_pages(spark, sf_dir))
+    return byte_histogram_features(load_pages(spark, sf_dir)).select(
+        "url", F.col("bin").cast("int"), "weight"
+    )
 
 
 def _tags_bilou_q(spark, sf_dir):
