@@ -12,22 +12,29 @@ J2: ambiguous aliases (>1 candidate entity) are reranked by cosine
     and the candidate entity embedding (vec_id == entity_num), with
     (score, prior, entity_id) as the deterministic sort key.
 
-Scale design — the mention stream NEVER shuffles in this stage:
+Scale design — TWO rerank strategies, selected by the size of the
+ambiguous candidate-entity set (counted distributively on the
+dictionary, never collected first):
 
-  * the dictionary is pre-grouped to one row per alias carrying an
-    ARRAY of candidates, so the broadcast join emits exactly one row
-    per mention (no fan-out, no re-aggregation).
-  * rerank scores are precomputed on the EMBEDDINGS table — one row per
-    page, one cosine per (page, ambiguous-entity) pair — which is
-    linear in pages and embarrassingly parallel.  Mentions then pick
+  * literal path (|ambiguous entities| <= max_literal_amb): rerank
+    cosines are precomputed on the EMBEDDINGS table — one row per page,
+    one cosine per (page, ambiguous-entity) pair — and mentions pick
     their winner from a per-page score map with a pure array-sort
-    expression.  Cosine is never evaluated per mention row: mentions of
-    hub entities (the skewed keys) take the n_cands==1 fast path and
-    touch no expensive expression at all.
-  * the per-page score table joins to mentions on doc_id — a uniform,
-    skew-free key.  In this sandbox it is broadcastable; at 10^12 pages
-    it becomes an ordinary hash join keyed by doc_id while everything
-    else in the stage stays map-side.
+    expression.  The mention stream never shuffles; cosine is never
+    evaluated per mention row (hub-entity mentions take the n_cands==1
+    fast path).  The per-page score table joins to mentions on doc_id;
+    the broadcast hint is GATED on an actual row-count probe — a
+    page-cardinality relation must become an ordinary hash join at
+    10^12 pages, not a pinned driver OOM.
+  * join path (large ambiguous sets — a real KB with 10^6..10^8 aliases
+    and thousands of ambiguous entities): candidates explode to rows,
+    join the page embedding on doc_id and the entity embedding on
+    entity_num (plain joins — AQE broadcasts the small side when it
+    is small), and a window takes the top-1 per mention.  Nothing is
+    collected to the driver and no per-entity literals enter the plan,
+    so the plan size is independent of the KB.  Only the AMBIGUOUS
+    mention slice pays the shuffles; unambiguous mentions stay on the
+    broadcast-only fast path in both strategies.
 
 ``link_score`` is NULL for unambiguous mentions (nothing was reranked);
 for ambiguous mentions it is the winning cosine (0.0 when either
@@ -36,7 +43,7 @@ embedding is missing — same ordering the DuckDB oracle uses).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgkit.sources.alias_dict import alias_df
@@ -68,7 +75,10 @@ def _float_array_lit(values) -> Column:
 def page_entity_scores(embeddings: DataFrame, amb_entity_nums) -> DataFrame:
     """(vec_id, escore: MAP<int,double>) — cosine of each page embedding
     against each ambiguous candidate entity's embedding.  One pass over
-    the embeddings table; |amb_entity_nums| cosines per page."""
+    the embeddings table; |amb_entity_nums| cosines per page.  Only used
+    on the literal path, where |amb_entity_nums| is already known to be
+    bounded (<= max_literal_amb), so the collect and the plan literals
+    are bounded too."""
     ent_rows = {
         int(r["vec_id"]): list(r["embedding"])
         for r in embeddings.filter(
@@ -98,48 +108,22 @@ _OUT_COLS = [
 ]
 
 
-def link_mentions(
-    mentions: DataFrame,
-    embeddings: DataFrame,
-    aliases: DataFrame = None,
-) -> DataFrame:
-    """mentions -> linked mentions with (entity_id, link_score).
+def _small_enough(df: DataFrame, max_rows: int) -> bool:
+    """Cheap row-count probe: True iff df has <= max_rows rows.  The
+    limit bounds the scan, so probing a 10^12-row table costs one
+    partition, not a full count."""
+    return len(df.limit(max_rows + 1).take(max_rows + 1)) <= max_rows
 
-    Unlinkable mentions (surface not in the dictionary) are dropped —
-    they carry no KG signal downstream.  The output plan is NARROW over
-    the mention stream: broadcast joins + array expressions only.
-    """
-    spark = mentions.sparkSession
-    if aliases is None:
-        aliases = alias_df(spark)
 
-    # one row per alias with its candidate array (tiny -> broadcast)
-    grouped = aliases.groupBy("alias").agg(
-        F.sort_array(
-            F.collect_list(F.struct("entity_id", "entity_num", "prior"))
-        ).alias("cands"),
-        F.count("*").alias("n_cands"),
-    )
-
-    amb_nums = sorted(
-        int(n)
-        for r in grouped.filter("n_cands > 1").select("cands").collect()
-        for n in [c["entity_num"] for c in r["cands"]]
-    )
+def _literal_rerank(cands: DataFrame, embeddings: DataFrame,
+                    amb_nums, scores_broadcast_rows: int) -> DataFrame:
+    """Map-side rerank: per-page score map + array-sort winner."""
     scores = page_entity_scores(embeddings, amb_nums).select(
         F.col("vec_id"), F.col("escore")
     )
-
-    doc_id = F.substring_index(F.col("url"), "//", -1).cast("long")
-    cands = (
-        mentions.join(
-            F.broadcast(grouped),
-            F.lower(mentions.surface) == grouped["alias"],
-            "inner",
-        )
-        .withColumn("doc_id", doc_id)
-        .join(F.broadcast(scores), F.col("doc_id") == F.col("vec_id"), "left")
-    )
+    if _small_enough(embeddings.select("vec_id"), scores_broadcast_rows):
+        scores = F.broadcast(scores)
+    joined = cands.join(scores, F.col("doc_id") == F.col("vec_id"), "left")
 
     # winner per mention: order by (link_score DESC, prior DESC,
     # entity_id ASC) — an array_sort comparator, evaluated only on the
@@ -164,7 +148,7 @@ def link_mentions(
     )
     best = F.element_at(F.array_sort(scored, cmp), 1)
 
-    return cands.select(
+    return joined.select(
         "url", "mention_id", "char_start", "char_end", "surface", "tag",
         F.when(F.col("n_cands") == 1, F.col("cands")[0]["entity_id"])
         .otherwise(best["entity_id"]).alias("entity_id"),
@@ -175,3 +159,106 @@ def link_mentions(
         F.when(F.col("n_cands") == 1, F.lit(None).cast("double"))
         .otherwise(best["s"]).alias("link_score"),
     )
+
+
+def _join_rerank(cands: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Distributed rerank: explode candidates, join both embeddings,
+    window top-1 per mention.  No driver collect, no plan literals —
+    plan size and driver memory are independent of the KB size."""
+    base_cols = ["url", "mention_id", "char_start", "char_end",
+                 "surface", "tag", "doc_id"]
+    una = cands.filter(F.col("n_cands") == 1).select(
+        *base_cols[:-1],
+        F.col("cands")[0]["entity_id"].alias("entity_id"),
+        F.col("cands")[0]["entity_num"].alias("entity_num"),
+        F.col("cands")[0]["prior"].alias("prior"),
+        F.lit(None).cast("double").alias("link_score"),
+    )
+
+    ex = cands.filter(F.col("n_cands") > 1).select(
+        *base_cols, F.explode("cands").alias("c")
+    ).select(
+        *base_cols,
+        F.col("c")["entity_id"].alias("entity_id"),
+        F.col("c")["entity_num"].alias("entity_num"),
+        F.col("c")["prior"].alias("prior"),
+    )
+    page_emb = embeddings.select(
+        F.col("vec_id").alias("pe_id"), F.col("embedding").alias("pe")
+    )
+    ent_emb = embeddings.select(
+        F.col("vec_id").alias("ee_id"), F.col("embedding").alias("ee")
+    )
+    scored = (
+        ex.join(page_emb, ex["doc_id"] == F.col("pe_id"), "left")
+        .join(ent_emb, F.col("entity_num") == F.col("ee_id"), "left")
+        .withColumn(
+            "link_score",
+            F.when(
+                F.col("pe").isNotNull() & F.col("ee").isNotNull(),
+                F.round(cosine(F.col("pe"), F.col("ee")), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("url", "mention_id").orderBy(
+        F.desc("link_score"), F.desc("prior"), F.asc("entity_id")
+    )
+    best = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            *base_cols[:-1],
+            "entity_id", "entity_num", "prior", "link_score",
+        )
+    )
+    return una.unionByName(best)
+
+
+def link_mentions(
+    mentions: DataFrame,
+    embeddings: DataFrame,
+    aliases: DataFrame = None,
+    max_literal_amb: int = 64,
+    scores_broadcast_rows: int = 200_000,
+) -> DataFrame:
+    """mentions -> linked mentions with (entity_id, link_score).
+
+    Unlinkable mentions (surface not in the dictionary) are dropped —
+    they carry no KG signal downstream.  The rerank strategy is chosen
+    by the number of distinct ambiguous candidate entities, counted
+    with a distributed aggregate over the (dictionary-cardinality)
+    alias table; the driver never collects anything unbounded.
+    """
+    spark = mentions.sparkSession
+    if aliases is None:
+        aliases = alias_df(spark)
+
+    # one row per alias with its candidate array (tiny -> broadcast)
+    grouped = aliases.groupBy("alias").agg(
+        F.sort_array(
+            F.collect_list(F.struct("entity_id", "entity_num", "prior"))
+        ).alias("cands"),
+        F.count("*").alias("n_cands"),
+    )
+
+    amb_num_df = (
+        grouped.filter("n_cands > 1")
+        .select(F.explode(F.col("cands")["entity_num"]).alias("n"))
+        .distinct()
+    )
+    use_literal = _small_enough(amb_num_df, max_literal_amb)
+
+    doc_id = F.substring_index(F.col("url"), "//", -1).cast("long")
+    cands = (
+        mentions.join(
+            F.broadcast(grouped),
+            F.lower(mentions.surface) == grouped["alias"],
+            "inner",
+        )
+        .withColumn("doc_id", doc_id)
+    )
+
+    if use_literal:
+        amb_nums = sorted(int(r["n"]) for r in amb_num_df.collect())
+        return _literal_rerank(cands, embeddings, amb_nums, scores_broadcast_rows)
+    return _join_rerank(cands, embeddings)

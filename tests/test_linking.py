@@ -1,0 +1,103 @@
+"""Entity-linking rerank strategies (J1/J2): literal map-side path vs
+distributed join path, and the gated scores broadcast.
+
+The two paths must be observationally identical — same winner, same
+link_score, same tie-breaks — because the strategy switch is a pure
+scale decision (|ambiguous entities|), not a semantic one.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgkit.operators.linking import link_mentions
+
+
+def _synthetic_kb(spark, n_amb_entities=100, n_pages=10, dim=4):
+    """A deliberately LARGE ambiguous alias set: one alias ('acme') with
+    n_amb_entities candidates — the shape that must never be collected
+    to the driver or inlined as plan literals."""
+    aliases = spark.createDataFrame(
+        [("acme", f"Q{100 + i}", 100 + i, round(0.5 + (i % 7) * 0.01, 2))
+         for i in range(n_amb_entities)]
+        + [("solo", "Q7", 7, 0.9)],
+        "alias string, entity_id string, entity_num int, prior double",
+    )
+    # embeddings for pages (vec_id = doc_id) and entities (vec_id =
+    # entity_num); a few entities deliberately have NO embedding (score
+    # must fall back to 0.0 and the tie-break decide)
+    rows = []
+    for vid in list(range(n_pages)) + [100 + i for i in range(n_amb_entities)
+                                       if i % 11 != 3]:
+        rows.append((vid, [float((vid * (j + 3)) % 17) - 8.0
+                           for j in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    mentions = spark.createDataFrame(
+        [(f"doc://{d}", m, 10 * m, 10 * m + 4, s, "ORG")
+         for d in range(n_pages)
+         for m, s in enumerate(["acme", "solo", "Acme"])],
+        "url string, mention_id long, char_start long, char_end long, "
+        "surface string, tag string",
+    )
+    return mentions, emb, aliases
+
+
+class TestRerankPaths:
+    def test_join_path_matches_literal_path(self, spark):
+        mentions, emb, aliases = _synthetic_kb(spark)
+        literal = link_mentions(
+            mentions, emb, aliases, max_literal_amb=1000
+        )
+        joined = link_mentions(
+            mentions, emb, aliases, max_literal_amb=8
+        )
+        key = ["url", "mention_id"]
+        lrows = sorted(literal.collect(), key=lambda r: (r["url"], r["mention_id"]))
+        jrows = sorted(joined.collect(), key=lambda r: (r["url"], r["mention_id"]))
+        assert len(lrows) == len(jrows) > 0
+        for lr, jr in zip(lrows, jrows):
+            assert lr.asDict() == jr.asDict(), (lr, jr)
+
+    def test_join_path_has_no_plan_literals(self, spark):
+        """The join path's plan size must not grow with the KB: no
+        per-entity embedding literals, no driver collect of candidates."""
+        mentions, emb, aliases = _synthetic_kb(spark)
+        df = link_mentions(mentions, emb, aliases, max_literal_amb=8)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        # the literal path would inline each entity embedding as an
+        # F.array(lit, ...) inside a map_from_entries
+        assert "map_from_entries" not in plan
+
+    def test_ambiguous_winner_uses_cosine_then_prior(self, spark):
+        mentions, emb, aliases = _synthetic_kb(spark, n_amb_entities=20)
+        out = link_mentions(mentions, emb, aliases, max_literal_amb=8)
+        acme = out.filter(F.col("surface") == "acme").collect()
+        assert acme and all(r["link_score"] is not None for r in acme)
+        solo = out.filter(F.col("surface") == "solo").collect()
+        assert solo and all(r["link_score"] is None for r in solo)
+        assert all(r["entity_id"] == "Q7" for r in solo)
+
+
+class TestScoresBroadcastGate:
+    SF = "/root/testdata/sf0.001"
+
+    def _analyzed(self, spark, **kw):
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        pages = pages_for_mentions(load_pages(spark, self.SF))
+        df = link_mentions(detect_mentions(pages), emb, **kw)
+        return df._jdf.queryExecution().analyzed().toString()
+
+    def test_small_scores_table_is_broadcast(self, spark):
+        plan = self._analyzed(spark)
+        assert plan.count("strategy=broadcast") >= 2  # dict + scores
+
+    def test_page_cardinality_scores_not_pinned(self, spark):
+        """When the probe says the page table is big, the broadcast hint
+        must NOT be applied — the join degrades to an ordinary hash join
+        instead of a driver OOM (VERDICT r1 'What's wrong' #2)."""
+        plan = self._analyzed(spark, scores_broadcast_rows=0)
+        assert plan.count("strategy=broadcast") == 1  # dict only
