@@ -31,43 +31,97 @@ MENTIONS_SCHEMA = (
 )
 
 
-def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # import inside the worker so the UDF pickles by reference only
-    from kgkit.ner_core import predict
+def _resolve_tagger(model: str):
+    """Executor-local model resolution by NAME (the string pickles;
+    the model object is built once per python worker): 'gazetteer' =
+    the rule stand-in, 'numpy' = the tensor-math NumpyTagger (M1-M3,
+    kgkit/ner_core/nn_tagger.py) — both produce identical tags, so
+    every downstream stage and oracle is valid for either."""
+    if model == "numpy":
+        from kgkit.ner_core.nn_tagger import default_numpy_tagger
+
+        return default_numpy_tagger()
     from kgkit.ner_core.tagger import default_gazetteer
-    from kgkit.ner_core.wordpiece import default_tokenizer
 
-    tokenizer = default_tokenizer()   # executor-local singletons
-    tagger = default_gazetteer()
-
-    for pdf in batches:
-        out = {
-            "url": [], "mention_id": [], "char_start": [],
-            "char_end": [], "surface": [], "tag": [],
-        }
-        results = predict(
-            pdf["text"].tolist(),
-            level="entity",
-            autocorrect=True,
-            tokenizer=tokenizer,
-            tagger=tagger,
-        )
-        for url, records in zip(pdf["url"].tolist(), results):
-            for mid, r in enumerate(records):
-                out["url"].append(url)
-                out["mention_id"].append(mid)
-                out["char_start"].append(int(r["char_start"]))
-                out["char_end"].append(int(r["char_end"]))
-                out["surface"].append(r["token"])
-                out["tag"].append(r["tag"])
-        yield pd.DataFrame(out)
+    return default_gazetteer()
 
 
-def detect_mentions(pages: DataFrame) -> DataFrame:
+def _detect_batches_for(model: str):
+    def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # import inside the worker so the UDF pickles by reference only
+        from kgkit.ner_core import predict
+        from kgkit.ner_core.wordpiece import default_tokenizer
+
+        tokenizer = default_tokenizer()   # executor-local singletons
+        tagger = _resolve_tagger(model)
+
+        for pdf in batches:
+            out = {
+                "url": [], "mention_id": [], "char_start": [],
+                "char_end": [], "surface": [], "tag": [],
+            }
+            results = predict(
+                pdf["text"].tolist(),
+                level="entity",
+                autocorrect=True,
+                tokenizer=tokenizer,
+                tagger=tagger,
+            )
+            for url, records in zip(pdf["url"].tolist(), results):
+                for mid, r in enumerate(records):
+                    out["url"].append(url)
+                    out["mention_id"].append(mid)
+                    out["char_start"].append(int(r["char_start"]))
+                    out["char_end"].append(int(r["char_end"]))
+                    out["surface"].append(r["token"])
+                    out["tag"].append(r["tag"])
+            yield pd.DataFrame(out)
+
+    return _detect_batches
+
+
+def detect_mentions(pages: DataFrame, model: str = "gazetteer") -> DataFrame:
     """pages(url, text, ...) -> mentions(url, mention_id, char_start,
     char_end, surface, tag), one row per extracted entity."""
     narrow = pages.select("url", "text")
-    return narrow.mapInPandas(_detect_batches, schema=MENTIONS_SCHEMA)
+    return narrow.mapInPandas(_detect_batches_for(model), schema=MENTIONS_SCHEMA)
+
+
+def word_probas(pages: DataFrame, model: str = "numpy") -> DataFrame:
+    """Word-level probability distributions (M3, Model.predict_proba,
+    api/model.py:369-400) exploded to (url, pos, cls, proba) rows — one
+    row per word and annotation class.  With model='numpy' the
+    probabilities are a REAL softmax over the NumpyTagger's logits
+    tensor; the raw doubles are emitted and rounding happens natively
+    so Spark and the DuckDB oracle share one rounding rule."""
+    import ast
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kgkit.ner_core.pipeline import predict_proba
+        from kgkit.ner_core.wordpiece import default_tokenizer
+
+        tokenizer = default_tokenizer()
+        tagger = _resolve_tagger(model)
+        for pdf in batches:
+            out = {"url": [], "pos": [], "cls": [], "proba": []}
+            results = predict_proba(
+                pdf["text"].tolist(), tokenizer=tokenizer, tagger=tagger
+            )
+            for url, records in zip(pdf["url"].tolist(), results):
+                for pos, r in enumerate(records):
+                    tag = r["tag"]
+                    # assert_typing stringified the dict (api/model.py:
+                    # 1507-1528); re-anchored [UNK] spans carry plain 'O'
+                    dist = ast.literal_eval(tag) if tag.startswith("{") else {tag: 1.0}
+                    for cls, p in dist.items():
+                        out["url"].append(url)
+                        out["pos"].append(pos)
+                        out["cls"].append(cls)
+                        out["proba"].append(float(p))
+            yield pd.DataFrame(out)
+
+    schema = "url string, pos int, cls string, proba double"
+    return pages.select("url", "text").mapInPandas(_batches, schema=schema)
 
 
 def word_tags(pages: DataFrame) -> DataFrame:

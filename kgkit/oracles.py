@@ -297,6 +297,41 @@ ORACLES = {
         WITH {MENTIONS_CTE}
         SELECT url, mention_id, char_start, char_end, surface, tag FROM mentions
     """,
+    # the numpy tensor model is an exact distillation of the gazetteer
+    # (kgkit/ner_core/nn_tagger.py): same mentions, same oracle
+    "kg_mentions_nn": f"""
+        WITH {MENTIONS_CTE}
+        SELECT url, mention_id, char_start, char_end, surface, tag FROM mentions
+    """,
+    # M3: softmax over the NumpyTagger's (finite) logit patterns — O
+    # bias 2, bigram-start 8, bigram-continuation 6, single-word 4 per
+    # matching class, zero elsewhere; proba = exp(z - zmax) / sum
+    "predict_proba_nn": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE},
+        z AS (
+            SELECT 'doc://' || doc_id AS url,
+                   CAST(pos - 1 AS BIGINT) AS pos, c.cls,
+                   (CASE WHEN c.cls = 'O' THEN 2.0 ELSE 0.0 END
+                    + CASE WHEN bi_tag IS NOT NULL AND c.cls = 'B-' || bi_tag
+                           THEN 8.0 ELSE 0.0 END
+                    + CASE WHEN bi_cont AND c.cls = 'I-OP'
+                           THEN 6.0 ELSE 0.0 END
+                    + CASE WHEN single_tag IS NOT NULL
+                                AND c.cls = 'B-' || single_tag
+                           THEN 4.0 ELSE 0.0 END) AS z
+            FROM marked
+            CROSS JOIN (VALUES ('O'), ('B-DIM'), ('B-OP'), ('B-TECH'),
+                               ('I-DIM'), ('I-OP'), ('I-TECH')) c(cls)
+        ),
+        m AS (
+            SELECT *, max(z) OVER (PARTITION BY url, pos) AS zmax FROM z
+        ),
+        e AS (SELECT url, pos, cls, exp(z - zmax) AS ez FROM m),
+        f AS (
+            SELECT *, sum(ez) OVER (PARTITION BY url, pos) AS den FROM e
+        )
+        SELECT url, pos, cls, round(ez / den, 6) AS proba FROM f
+    """,
     "kg_linked": f"""
         WITH {LINKED_CTE}
         SELECT url, mention_id, char_start, char_end, surface, tag,
@@ -625,6 +660,29 @@ ORACLES = {
         )
         SELECT url, bin, round(n / CAST(total AS DOUBLE), 6) AS weight
         FROM b
+    """,
+    # S4 layout A roundtrip: the ingest must reproduce the word/tag
+    # stream the fixture was encoded from
+    "hf_pretokenized_ingest": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE}
+        SELECT 'doc://' || doc_id AS url,
+               CAST(pos - 1 AS BIGINT) AS pos,
+               word AS token,
+               CASE WHEN bi_tag IS NOT NULL THEN 'B-' || bi_tag
+                    WHEN bi_cont THEN 'I-' ||
+                        CASE WHEN prev_word = 'hash'  AND word = 'join'  THEN 'OP'
+                             WHEN prev_word = 'table' AND word = 'scan'  THEN 'OP'
+                             WHEN prev_word = 'sort'  AND word = 'merge' THEN 'OP' END
+                    WHEN single_tag IS NOT NULL THEN 'B-' || single_tag
+                    ELSE 'O' END AS tag
+        FROM marked
+    """,
+    # S4 layout B roundtrip: normalization undoes the planted +1000
+    # document-offset shift, the filter drops the planted disconnected
+    # entity -> exactly the original mention spans
+    "hf_charspan_ingest": f"""
+        WITH {MENTIONS_CTE}
+        SELECT url, surface AS token, tag, char_start, char_end FROM mentions
     """,
     "tags_bilou": f"""
         WITH {WORDS_CTE}, {MARKED_CTE},

@@ -41,6 +41,37 @@ def _mentions_q(spark, sf_dir):
     )
 
 
+def _mentions_nn_q(spark, sf_dir):
+    """Full mention pipeline with the NUMPY tensor model (M1-M3,
+    kgkit/ner_core/nn_tagger.py): embedding lookup -> batched matmul ->
+    logits -> argmax decode.  Must equal the gazetteer pipeline exactly
+    (the model is its lossless distillation), so it shares the
+    kg_mentions oracle — a full-corpus correctness gate on the real
+    tensor-math inference path."""
+    m = detect_mentions(_pages(spark, sf_dir), model="numpy")
+    return m.select(
+        "url",
+        F.col("mention_id").cast("long").alias("mention_id"),
+        F.col("char_start").cast("long").alias("char_start"),
+        F.col("char_end").cast("long").alias("char_end"),
+        "surface", "tag",
+    )
+
+
+def _predict_proba_nn_q(spark, sf_dir):
+    """M3 softmax probabilities from the numpy model's logits, exploded
+    to (url, pos, cls, proba); the DuckDB oracle recomputes the same
+    finite logit patterns and softmax with exp() in SQL."""
+    from kgkit.operators.mentions import word_probas
+
+    return word_probas(_pages(spark, sf_dir), model="numpy").select(
+        "url",
+        F.col("pos").cast("long").alias("pos"),
+        "cls",
+        F.round("proba", 6).alias("proba"),
+    )
+
+
 def _linked_q(spark, sf_dir):
     linked = link_mentions(
         detect_mentions(_pages(spark, sf_dir)), _embeddings(spark, sf_dir)
@@ -349,6 +380,40 @@ def _media_byte_histogram_q(spark, sf_dir):
     )
 
 
+def _hf_pretokenized_ingest_q(spark, sf_dir):
+    """S4 layout A: ClassLabel-encoded pretokenized fixture -> ingest
+    roundtrip (huggingface_datasets_formatter.py:269-277); the oracle
+    recomputes the expected token/tag stream independently."""
+    from kgkit.sources.hf_datasets import (
+        hf_pretokenized_fixture,
+        ingest_pretokenized,
+    )
+
+    fixture = hf_pretokenized_fixture(word_tags(_pages(spark, sf_dir)))
+    return ingest_pretokenized(fixture).select(
+        F.col("sentence_id").alias("url"),
+        F.col("pos").cast("long").alias("pos"),
+        "token", "tag",
+    )
+
+
+def _hf_charspan_ingest_q(spark, sf_dir):
+    """S4 layout B: document-offset char-span fixture (+1000 shift, one
+    planted disconnected entity) -> mapping rename, ClassLabel decode,
+    disconnected filter, boundary normalization
+    (huggingface_datasets_formatter.py:279-348)."""
+    from kgkit.sources.hf_datasets import hf_charspan_fixture, ingest_charspan
+
+    pages = _pages(spark, sf_dir)
+    fixture = hf_charspan_fixture(pages, detect_mentions(pages))
+    return ingest_charspan(fixture).select(
+        F.col("sentence_id").alias("url"),
+        "token", "tag",
+        F.col("char_start").cast("long").alias("char_start"),
+        F.col("char_end").cast("long").alias("char_end"),
+    )
+
+
 def _tags_bilou_q(spark, sf_dir):
     """P7 plain->bilou as a lag/lead window conversion (SURVEY §2.3)."""
     wt = _word_tags_q(spark, sf_dir)
@@ -595,6 +660,8 @@ def _ann_topk_q(spark, sf_dir):
 
 QUERIES = {
     "kg_mentions": _mentions_q,
+    "kg_mentions_nn": _mentions_nn_q,
+    "predict_proba_nn": _predict_proba_nn_q,
     "kg_linked": _linked_q,
     "kg_canonical": _canonical_q,
     "kg_triples": _triples_q,
@@ -619,6 +686,8 @@ QUERIES = {
     "media_stats": _media_stats_q,
     "media_frame_sample": _media_frame_sample_q,
     "media_byte_histogram": _media_byte_histogram_q,
+    "hf_pretokenized_ingest": _hf_pretokenized_ingest_q,
+    "hf_charspan_ingest": _hf_charspan_ingest_q,
     "tags_bilou": _tags_bilou_q,
     "iob1_roundtrip": _iob1_roundtrip_q,
     "events_hourly": _events_hourly_q,
