@@ -193,11 +193,37 @@ class NumpyTagger:
         ]
 
     # -- pipeline-compatible surface ---------------------------------------
+    # trailing [PAD] positions all share the bias-only logits, so the
+    # fast path trims them before the forward pass and back-fills the
+    # (shared, never-mutated) constant result — with padding to
+    # max_seq_length=1024 the padded tail dominates realistic slices
+    @staticmethod
+    def _content_len(subtokens: Sequence[str]) -> int:
+        n = len(subtokens)
+        while n > 0 and subtokens[n - 1] == PAD:
+            n -= 1
+        return n
+
+    def _pad_dist(self) -> Dict[str, float]:
+        cached = getattr(self, "_pad_dist_cache", None)
+        if cached is None:
+            z = (np.zeros((1, 1, 3 * EMB_DIM), dtype=np.float32)
+                 .reshape(1, 3 * EMB_DIM) @ self.W + self.b)
+            cached = self.decode_proba(
+                z.reshape(1, 1, len(self.annotation_classes))
+            )[0][0]
+            self._pad_dist_cache = cached
+        return cached
+
     def tag_slice(self, subtokens: Sequence[str]) -> List[str]:
-        return self.decode_argmax(self.forward([subtokens]))[0][: len(subtokens)]
+        n = self._content_len(subtokens)
+        tags = self.decode_argmax(self.forward([subtokens[:n]]))[0][:n]
+        return tags + ["O"] * (len(subtokens) - n)
 
     def tag_slice_proba(self, subtokens: Sequence[str]) -> List[Dict[str, float]]:
-        return self.decode_proba(self.forward([subtokens]))[0][: len(subtokens)]
+        n = self._content_len(subtokens)
+        out = self.decode_proba(self.forward([subtokens[:n]]))[0][:n]
+        return out + [self._pad_dist()] * (len(subtokens) - n)
 
 
 _DEFAULT: Optional[NumpyTagger] = None

@@ -97,6 +97,7 @@ def predict_proba(
     is_pretokenized: bool = False,
     tokenizer: Optional[WordPieceTokenizer] = None,
     tagger: Optional[GazetteerTagger] = None,
+    stringify_tags: bool = True,
 ) -> List[List[Dict[str, str]]]:
     """Word-level probability predictions (Model.predict_proba,
     api/model.py:369-400).
@@ -107,7 +108,13 @@ def predict_proba(
     {"char_start","char_end","token","tag": "<str(dict)>"}; tokens the
     restoration step re-anchors (e.g. [UNK] spans) carry the plain 'O'
     string.  No autocorrect / entity level (asserted away by the
-    reference, api/model.py:591-594)."""
+    reference, api/model.py:591-594).
+
+    ``stringify_tags=False`` keeps the proba dicts as DICTS (offsets are
+    still stringified): the Spark operator (kgkit/operators/mentions.py
+    word_probas) consumes them directly instead of re-parsing millions
+    of str(dict) payloads — the str() round-trip is a reference-surface
+    quirk, not information."""
     if isinstance(input_texts, str):
         input_texts = [input_texts]
     tokenizer = tokenizer or default_tokenizer()
@@ -139,7 +146,11 @@ def predict_proba(
             tokens, probas, tokenizer.special_tokens, tokenizer.tokenizer_type
         )
         records = spans.restore_unknown_tokens(word_preds, texts_pretokenized[i])
-        records = [{k: str(v) for k, v in r.items()} for r in records]  # assert_typing
+        records = [  # assert_typing (api/model.py:1507-1528)
+            {k: (v if k == "tag" and not stringify_tags else str(v))
+             for k, v in r.items()}
+            for r in records
+        ]
         records = spans.merge_tokens_to_words(records)
         if pretok_offsets is not None:
             records = spans.unpretokenize(records, pretok_offsets[i])

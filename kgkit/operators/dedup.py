@@ -71,20 +71,36 @@ def planted_near_dups(docs: DataFrame, every: int = 5, id_offset: int = 100_000)
 # ---------------------------------------------------------------------------
 
 
-def _salted_md5(salt: str):
-    # single-arg lambda: a 2-arg lambda would make F.transform pass the
-    # array INDEX as the second argument, silently clobbering the salt
-    return lambda s: F.md5(F.concat(F.lit(salt), s))
+MINHASH_P = 2_147_483_647  # 2^31 - 1, prime
+
+
+def minhash_family(k: int):
+    """Deterministic universal-hash family h_i(x) = (a_i x + b_i) mod P
+    over 28-bit shingle fingerprints: x < 2^28 and a_i < P keep every
+    product under 2^59 — no 64-bit overflow on either engine (DuckDB
+    ERRORS on BIGINT overflow where the JVM wraps, so staying in range
+    is a correctness requirement for the oracle twin, not a style
+    choice)."""
+    return [(999_983 * i + 1_299_721, 777_777 * i + 7) for i in range(k)]
 
 
 def minhash_signature(shingled: DataFrame, k: int = 8) -> DataFrame:
-    """Adds mh0..mh{k-1}: lexicographic min of salted md5 over shingles."""
-    out = shingled
-    for i in range(k):
+    """Adds mh0..mh{k-1}: min over shingles of k permutation hashes.
+
+    ONE md5 per shingle (the 28-bit prefix becomes an integer
+    fingerprint); the k families are derived by integer mixing, not k
+    re-hashes — round 1 salted and re-md5'd every shingle k times, i.e.
+    8x the hash work on the dominant primitive of this operator."""
+    d = F.expr(
+        "transform(sh, s -> cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint))"
+    )
+    out = shingled.withColumn("_d", d)
+    for i, (a, b) in enumerate(minhash_family(k)):
         out = out.withColumn(
-            f"mh{i}", F.array_min(F.transform("sh", _salted_md5(f"{i}:")))
+            f"mh{i}",
+            F.expr(f"array_min(transform(_d, x -> (x * {a}L + {b}L) % {MINHASH_P}L))"),
         )
-    return out
+    return out.drop("_d")
 
 
 def lsh_band_table(signed: DataFrame, bands: int = 4, rows: int = 2) -> DataFrame:

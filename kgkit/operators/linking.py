@@ -110,9 +110,10 @@ _OUT_COLS = [
 
 def _small_enough(df: DataFrame, max_rows: int) -> bool:
     """Cheap row-count probe: True iff df has <= max_rows rows.  The
-    limit bounds the scan, so probing a 10^12-row table costs one
-    partition, not a full count."""
-    return len(df.limit(max_rows + 1).take(max_rows + 1)) <= max_rows
+    limit bounds the scan (probing a 10^12-row table stops after
+    max_rows+1 rows, not a full pass) and count() ships one number to
+    the driver, never rows."""
+    return df.limit(max_rows + 1).count() <= max_rows
 
 
 def _literal_rerank(cands: DataFrame, embeddings: DataFrame,
@@ -214,6 +215,12 @@ def _join_rerank(cands: DataFrame, embeddings: DataFrame) -> DataFrame:
     return una.unionByName(best)
 
 
+_STRATEGY_CACHE: dict = {}  # applicationId -> (use_literal, amb_nums)
+# memo for the DEFAULT (static, per-job) alias dictionary only: the
+# strategy probe and the bounded amb-entity list cannot change within a
+# job, so repeated pipeline invocations must not re-pay the probe jobs
+
+
 def link_mentions(
     mentions: DataFrame,
     embeddings: DataFrame,
@@ -227,10 +234,13 @@ def link_mentions(
     they carry no KG signal downstream.  The rerank strategy is chosen
     by the number of distinct ambiguous candidate entities, counted
     with a distributed aggregate over the (dictionary-cardinality)
-    alias table; the driver never collects anything unbounded.
+    alias table; the driver never collects anything unbounded (the
+    bounded amb-entity list is only collected AFTER the count gate
+    proves it small).
     """
     spark = mentions.sparkSession
-    if aliases is None:
+    default_dict = aliases is None
+    if default_dict:
         aliases = alias_df(spark)
 
     # one row per alias with its candidate array (tiny -> broadcast)
@@ -241,6 +251,15 @@ def link_mentions(
         F.count("*").alias("n_cands"),
     )
 
+    cache_key = spark.sparkContext.applicationId if default_dict else None
+    cached = _STRATEGY_CACHE.get(cache_key) if default_dict else None
+    if cached is not None:
+        use_literal, amb_nums = cached
+        if use_literal:
+            return _literal_rerank(cands_of(mentions, grouped), embeddings,
+                                   amb_nums, scores_broadcast_rows)
+        return _join_rerank(cands_of(mentions, grouped), embeddings)
+
     amb_num_df = (
         grouped.filter("n_cands > 1")
         .select(F.explode(F.col("cands")["entity_num"]).alias("n"))
@@ -248,8 +267,24 @@ def link_mentions(
     )
     use_literal = _small_enough(amb_num_df, max_literal_amb)
 
+    cands = cands_of(mentions, grouped)
+    if use_literal:
+        amb_nums = sorted(int(r["n"]) for r in amb_num_df.collect())
+        if default_dict:
+            _STRATEGY_CACHE.clear()
+            _STRATEGY_CACHE[cache_key] = (True, amb_nums)
+        return _literal_rerank(cands, embeddings, amb_nums, scores_broadcast_rows)
+    if default_dict:
+        _STRATEGY_CACHE.clear()
+        _STRATEGY_CACHE[cache_key] = (False, None)
+    return _join_rerank(cands, embeddings)
+
+
+def cands_of(mentions: DataFrame, grouped: DataFrame) -> DataFrame:
+    """Broadcast alias join: one output row per linkable mention with
+    its candidate array — the shared head of both rerank strategies."""
     doc_id = F.substring_index(F.col("url"), "//", -1).cast("long")
-    cands = (
+    return (
         mentions.join(
             F.broadcast(grouped),
             F.lower(mentions.surface) == grouped["alias"],
@@ -257,8 +292,3 @@ def link_mentions(
         )
         .withColumn("doc_id", doc_id)
     )
-
-    if use_literal:
-        amb_nums = sorted(int(r["n"]) for r in amb_num_df.collect())
-        return _literal_rerank(cands, embeddings, amb_nums, scores_broadcast_rows)
-    return _join_rerank(cands, embeddings)

@@ -94,7 +94,9 @@ def word_probas(pages: DataFrame, model: str = "numpy") -> DataFrame:
     probabilities are a REAL softmax over the NumpyTagger's logits
     tensor; the raw doubles are emitted and rounding happens natively
     so Spark and the DuckDB oracle share one rounding rule."""
-    import ast
+    from kgkit.ner_core.tagger import GazetteerTagger
+
+    classes = GazetteerTagger().annotation_classes  # fixed order, O first
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from kgkit.ner_core.pipeline import predict_proba
@@ -103,25 +105,35 @@ def word_probas(pages: DataFrame, model: str = "numpy") -> DataFrame:
         tokenizer = default_tokenizer()
         tagger = _resolve_tagger(model)
         for pdf in batches:
-            out = {"url": [], "pos": [], "cls": [], "proba": []}
+            out = {"url": [], "pos": [], "probas": []}
             results = predict_proba(
-                pdf["text"].tolist(), tokenizer=tokenizer, tagger=tagger
+                pdf["text"].tolist(), tokenizer=tokenizer, tagger=tagger,
+                stringify_tags=False,
             )
             for url, records in zip(pdf["url"].tolist(), results):
                 for pos, r in enumerate(records):
-                    tag = r["tag"]
-                    # assert_typing stringified the dict (api/model.py:
-                    # 1507-1528); re-anchored [UNK] spans carry plain 'O'
-                    dist = ast.literal_eval(tag) if tag.startswith("{") else {tag: 1.0}
-                    for cls, p in dist.items():
-                        out["url"].append(url)
-                        out["pos"].append(pos)
-                        out["cls"].append(cls)
-                        out["proba"].append(float(p))
+                    dist = r["tag"]
+                    # re-anchored [UNK] spans carry a plain tag string
+                    if not isinstance(dist, dict):
+                        dist = {dist: 1.0}
+                    out["url"].append(url)
+                    out["pos"].append(pos)
+                    out["probas"].append([dist.get(c, 0.0) for c in classes])
             yield pd.DataFrame(out)
 
-    schema = "url string, pos int, cls string, proba double"
-    return pages.select("url", "text").mapInPandas(_batches, schema=schema)
+    # one python row per WORD; the 1:len(classes) fan-out to class rows
+    # happens JVM-side (posexplode + literal name array), not in python
+    cls_names = F.array(*[F.lit(c) for c in classes])
+    raw = pages.select("url", "text").mapInPandas(
+        _batches, schema="url string, pos int, probas array<double>"
+    )
+    return raw.select(
+        "url", "pos", F.posexplode("probas").alias("cls_idx", "proba")
+    ).select(
+        "url", "pos",
+        F.element_at(cls_names, F.col("cls_idx") + 1).alias("cls"),
+        "proba",
+    )
 
 
 def word_tags(pages: DataFrame) -> DataFrame:

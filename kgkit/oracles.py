@@ -245,9 +245,15 @@ shingled AS (
 
 
 def _minhash_cols_sql(k: int = 8) -> str:
+    """Twin of kgkit.operators.dedup.minhash_signature: one md5 per
+    shingle (28-bit hex-prefix fingerprint), k universal-hash mixes —
+    SAME family constants imported from the engine module."""
+    from kgkit.operators.dedup import MINHASH_P, minhash_family
+
     return ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh{i}"
-        for i in range(k)
+        f"list_aggregate(list_transform(d, x -> (x * {a} + {b}) % {MINHASH_P}), "
+        f"'min') AS mh{i}"
+        for i, (a, b) in enumerate(minhash_family(k))
     )
 
 
@@ -756,7 +762,13 @@ ORACLES = {
     """,
     "dedup_minhash_lsh": f"""
         WITH {PLANTED_DOCS_CTE}, {SHINGLED_CTE},
-        signed AS (SELECT doc_id, sh, {_minhash_cols_sql()} FROM shingled),
+        dig AS (
+            SELECT doc_id, sh,
+                   list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)
+                       AS d
+            FROM shingled
+        ),
+        signed AS (SELECT doc_id, sh, {_minhash_cols_sql()} FROM dig),
         bandt AS ({_bands_sql()}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
