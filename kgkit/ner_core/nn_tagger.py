@@ -226,7 +226,55 @@ class NumpyTagger:
         return out + [self._pad_dist()] * (len(subtokens) - n)
 
 
+    # -- S7: checkpoint source ---------------------------------------------
+    # the reference loads trained weights from an on-disk checkpoint
+    # (AutoModelForTokenClassification.from_pretrained); same lifecycle
+    # here over an .npz — save() the constructed weights once, ship the
+    # file with --files, and every executor load()s it locally (memoized
+    # via checkpoint_tagger below)
+    def save(self, path: str) -> None:
+        """Serialize the full model state to one .npz checkpoint."""
+        np.savez(
+            path if path.endswith(".npz") else path + ".npz",
+            W=self.W,
+            b=self.b,
+            seed=np.int64(self.seed),
+            classes=np.array(self.annotation_classes),
+            keys=np.array(sorted(self._key_dim, key=self._key_dim.get)),
+            bigrams=np.array(
+                [f"{a}|{b_}\t{c}" for (a, b_), c in sorted(self._bigrams.items())]
+            ),
+            singles=np.array(
+                [f"{w}\t{c}" for w, c in sorted(self._singles.items())]
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "NumpyTagger":
+        """Rebuild from a checkpoint; loaded tensors must equal the
+        reconstruction bit-for-bit (asserted) — a corrupted or
+        version-skewed checkpoint fails loudly, not silently."""
+        ckpt = np.load(path if path.endswith(".npz") else path + ".npz")
+        gaz = {}
+        for row in ckpt["bigrams"]:
+            phrase, c = str(row).split("\t")
+            a, b = phrase.split("|")
+            gaz[(a, b)] = c
+        for row in ckpt["singles"]:
+            w, c = str(row).split("\t")
+            gaz[(w,)] = c
+        model = cls(gaz, seed=int(ckpt["seed"]))
+        if not (np.array_equal(model.W, ckpt["W"])
+                and np.array_equal(model.b, ckpt["b"])
+                and model.annotation_classes == [str(c) for c in ckpt["classes"]]):
+            raise ValueError(f"checkpoint {path} does not match this model version")
+        model.W = ckpt["W"]
+        model.b = ckpt["b"]
+        return model
+
+
 _DEFAULT: Optional[NumpyTagger] = None
+_CKPT_CACHE: Dict[str, NumpyTagger] = {}
 
 
 def default_numpy_tagger() -> NumpyTagger:
@@ -235,3 +283,15 @@ def default_numpy_tagger() -> NumpyTagger:
     if _DEFAULT is None:
         _DEFAULT = NumpyTagger()
     return _DEFAULT
+
+
+def checkpoint_tagger(path: str) -> NumpyTagger:
+    """Executor-local checkpoint load, memoized per path: each python
+    worker deserializes the weights once, like the reference's
+    per-process from_pretrained model cache."""
+    model = _CKPT_CACHE.get(path)
+    if model is None:
+        model = NumpyTagger.load(path)
+        if len(_CKPT_CACHE) < 16:
+            _CKPT_CACHE[path] = model
+    return model

@@ -68,7 +68,7 @@ def predict(
     # -- steps 3-5: encode -> tag -> merge slices ---------------------------
     results: List[List[Dict[str, str]]] = []
     for i, words in enumerate(words_per_doc):
-        slices = tokenizer.encode_words(words)
+        slices = tokenizer.encode_words(words, pad=False)
         slice_tags = [tagger.tag_slice(s) for s in slices]
         tokens = spans.merge_slices(slices)
         preds = spans.merge_slices(slice_tags)
@@ -137,7 +137,7 @@ def predict_proba(
 
     results: List[List[Dict[str, str]]] = []
     for i, words in enumerate(words_per_doc):
-        slices = tokenizer.encode_words(words)
+        slices = tokenizer.encode_words(words, pad=False)
         slice_probas = [tagger.tag_slice_proba(s) for s in slices]
         tokens = spans.merge_slices(slices)
         probas = spans.merge_slices(slice_probas)

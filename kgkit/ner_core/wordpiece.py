@@ -104,13 +104,20 @@ class WordPieceTokenizer:
         return pieces if pieces else [UNK]
 
     # -- words -> fixed-length slices ----------------------------------------
-    def encode_words(self, words: Sequence[str]) -> List[List[str]]:
+    def encode_words(self, words: Sequence[str], pad: bool = True) -> List[List[str]]:
         """Tokenize pre-split words into >=1 fixed-length slices.
 
         Each slice is [CLS] + pieces + [SEP] (+ [PAD] to max_seq_length);
         overflow continues in the next slice with no stride, mirroring the
         reference's return_overflowing_tokens=True, stride=0 encoding.
-        """
+
+        ``pad=False`` omits the [PAD] tail.  Downstream semantics are
+        invariant (every special token is dropped by the subtoken merge;
+        tag/proba entries at [PAD] positions pair with [PAD] tokens and
+        vanish with them), but the padded tail DOMINATES the python hot
+        path on realistic slice fills — the pipeline runs unpadded and
+        padding stays the default for the reference-shaped contract
+        (padding='max_length', input_examples_to_tensors.py:110-119)."""
         flat: List[str] = []
         for w in words:
             flat.extend(self.tokenize_word(w))
@@ -121,7 +128,8 @@ class WordPieceTokenizer:
         for off in range(0, max(len(flat), 1), body):
             chunk = flat[off: off + body]
             padded = [CLS] + chunk + [SEP]
-            padded += [PAD] * (self.max_seq_length - len(padded))
+            if pad:
+                padded += [PAD] * (self.max_seq_length - len(padded))
             slices.append(padded)
         return slices
 

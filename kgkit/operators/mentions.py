@@ -41,6 +41,13 @@ def _resolve_tagger(model: str):
         from kgkit.ner_core.nn_tagger import default_numpy_tagger
 
         return default_numpy_tagger()
+    if model.startswith("ckpt:"):
+        # S7 checkpoint source: 'ckpt:/path/model.npz' loads the numpy
+        # model's weights from disk, once per python worker (the file is
+        # shipped to executors via spark-submit --files)
+        from kgkit.ner_core.nn_tagger import checkpoint_tagger
+
+        return checkpoint_tagger(model[len("ckpt:"):])
     from kgkit.ner_core.tagger import default_gazetteer
 
     return default_gazetteer()

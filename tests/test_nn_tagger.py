@@ -118,3 +118,38 @@ class TestDifferential:
     def test_overlap_guard(self):
         with pytest.raises(ValueError, match="overlap"):
             NumpyTagger({("a", "b"): "X", ("b", "c"): "X"})
+
+
+class TestCheckpoint:
+    """S7: on-disk checkpoint save/load with executor-local memoization."""
+
+    def test_save_load_roundtrip(self, model, tmp_path):
+        path = str(tmp_path / "tagger.npz")
+        model.save(path)
+        loaded = NumpyTagger.load(path)
+        assert np.array_equal(loaded.W, model.W)
+        assert np.array_equal(loaded.b, model.b)
+        assert loaded.annotation_classes == model.annotation_classes
+        assert loaded.tag_slice(SLICE) == model.tag_slice(SLICE)
+
+    def test_corrupted_checkpoint_fails_loudly(self, model, tmp_path):
+        path = str(tmp_path / "bad.npz")
+        model.save(path)
+        data = dict(np.load(path))
+        data["W"] = data["W"] + 1.0
+        np.savez(path, **data)
+        with pytest.raises(ValueError, match="does not match"):
+            NumpyTagger.load(path)
+
+    def test_spark_pipeline_from_checkpoint(self, model, tmp_path, spark):
+        """detect_mentions(model='ckpt:...') must equal the in-memory
+        model end-to-end."""
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+
+        path = str(tmp_path / "tagger.npz")
+        model.save(path)
+        pages = pages_for_mentions(load_pages(spark, "/root/testdata/sf0.001"))
+        a = sorted(map(tuple, detect_mentions(pages, model=f"ckpt:{path}").collect()))
+        b = sorted(map(tuple, detect_mentions(pages, model="numpy").collect()))
+        assert a == b and len(a) > 0
