@@ -1,0 +1,179 @@
+"""Web-corpus quality filtering — Gopher-style rules, repetition
+signals, PII detect/scrub.
+
+These are the pre-training-data quality operators a 100-TB Common-Crawl
+pipeline runs between ingestion and dedup (Rae et al. 2021 "Scaling
+Language Models: ... Gopher", appendix A1.1 — public paper; the
+reference repo stops at NER, so these are pipeline extensions, not
+ports).
+
+Scale design: every signal is a pure column expression evaluated in one
+projection over the scan (no shuffle, no UDF, whole-stage codegen), with
+two exceptions that are explicitly shuffle-shaped:
+
+  * ``top_ngram_stats`` aggregates (doc_id, ngram) — partial (map-side)
+    aggregation applies and doc_id in the key kills skew, so the shuffle
+    is proportional to distinct ngrams per doc, not corpus size.
+  * nothing else shuffles.
+
+All rules are threshold-parameterized; the defaults follow the Gopher
+paper where the signal exists on plain text (no markup-specific rules —
+the input_hint table's ``text`` column is already extracted text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# a real (if small) English stopword list — Gopher's rule is
+# "contains >= 2 of a fixed stop set"; this is that set.
+STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with",
+             "a", "in")
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}[.]\d{1,3}[.]\d{1,3}[.]\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def gopher_quality(docs: DataFrame,
+                   min_words: int = 30, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_frac: float = 0.8,
+                   min_stopwords: int = 2) -> DataFrame:
+    """(doc_id, signals..., keep int) — Gopher rule battery per doc.
+
+    Signals (all computed in ONE codegen'd projection over the scan):
+      n_words, mean_word_len, frac_alpha_words (words containing an
+      ASCII letter), n_stopwords (hits in STOPWORDS), symbol_ratio
+      ('#' or '...' occurrences per word), frac_bullet_lines (lines
+      starting with -, *, or bullet), frac_ellipsis_lines (lines ending
+      in '...').  keep = 1 iff every rule passes.
+    """
+    w = _words()
+    n_words = F.size(w)
+    word_lens = F.transform(w, lambda x: F.length(x))
+    mean_wl = (
+        F.aggregate(word_lens, F.lit(0), lambda a, x: a + x)
+        / n_words.cast("double")
+    )
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_sym = (F.regexp_count(F.col("text"), F.lit("#"))
+             + F.regexp_count(F.col("text"), F.lit(r"\.\.\.")))
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^[-*•]")))
+    n_ellip = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+
+    sig = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(n_alpha / n_words.cast("double"), 6).alias("frac_alpha_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(n_sym / n_words.cast("double"), 6).alias("symbol_ratio"),
+        F.round(n_bullet / n_lines.cast("double"), 6).alias("frac_bullet_lines"),
+        F.round(n_ellip / n_lines.cast("double"), 6).alias("frac_ellipsis_lines"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("frac_alpha_words") >= min_alpha_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+        & (F.col("frac_bullet_lines") <= 0.9)
+        & (F.col("frac_ellipsis_lines") <= 0.3)
+    )
+    return sig.withColumn("keep", keep.cast("int"))
+
+
+def top_ngram_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, top_ngram, top_ngram_n, top_ngram_char_frac) — the most
+    frequent word n-gram per document and the fraction of the document's
+    characters it covers (Gopher's repetition filter drops docs whose
+    top 2-gram covers > 0.2 of characters).
+
+    Shape: explode n-grams -> groupBy(doc_id, ngram) count (map-side
+    combine; doc_id in the key means no hot keys) -> per-doc top-1 via
+    window ordered (count DESC, ngram DESC) for deterministic ties.
+    """
+    w = _words()
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    grams = docs.filter(F.size(_words()) >= n).select(
+        "doc_id",
+        F.length("text").alias("n_chars_t"),
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(
+                " ", F.slice(w, i + 1, n)))
+        ).alias("ngram"),
+    )
+    counts = grams.groupBy("doc_id", "n_chars_t", "ngram").agg(
+        F.count("*").alias("cnt")
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.desc("ngram")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            F.col("ngram").alias("top_ngram"),
+            F.col("cnt").cast("long").alias("top_ngram_n"),
+            F.round(
+                (F.col("cnt") * F.length("ngram"))
+                / F.col("n_chars_t").cast("double"), 6
+            ).alias("top_ngram_char_frac"),
+        )
+    )
+
+
+def plant_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII into the synthetic corpus (the
+    driver's documents are PII-free word soup) so the detector has
+    positives — same construction as dedup.planted_near_dups.  Every
+    7th doc gets an email, every 11th an IPv4, every 13th a phone."""
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.concat(
+                F.lit(" contact user"), d.cast("string"),
+                F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.concat(
+                F.lit(" from 10."), (d % 256).cast("string"),
+                F.lit(".0.1"))).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit(" call 555-0142")).otherwise(F.lit("")),
+        ),
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, scrubbed_hash) — count PII
+    matches and hash the scrubbed text (emails -> <EMAIL>, IPs -> <IP>,
+    phones -> <PHONE>).  Patterns are RE2-safe (no backrefs/lookaround)
+    so the DuckDB oracle runs the identical regexes.  Pure projection:
+    no shuffle, no UDF."""
+    t = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"),
+        PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )

@@ -505,6 +505,98 @@ ORACLES = {
                          THEN 1 ELSE 0 END AS INT) AS keep
         FROM q
     """,
+    "quality_gopher": """
+        WITH q AS (
+            SELECT doc_id, text,
+                   string_split(text, ' ') AS w,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   round(list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                         / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+                   round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                         / CAST(len(w) AS DOUBLE), 6) AS frac_alpha_words,
+                   CAST(len(list_filter(w, x -> x IN ('the','be','to','of',
+                        'and','that','have','with','a','in'))) AS BIGINT)
+                       AS n_stopwords,
+                   round((len(regexp_extract_all(text, '#'))
+                          + len(regexp_extract_all(text, '\\.\\.\\.')))
+                         / CAST(len(w) AS DOUBLE), 6) AS symbol_ratio,
+                   round(len(list_filter(lines,
+                             l -> regexp_matches(l, '^[-*•]')))
+                         / CAST(len(lines) AS DOUBLE), 6) AS frac_bullet_lines,
+                   round(len(list_filter(lines,
+                             l -> regexp_matches(l, '\\.\\.\\.$')))
+                         / CAST(len(lines) AS DOUBLE), 6)
+                       AS frac_ellipsis_lines
+            FROM q
+        )
+        SELECT *, CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+                             AND mean_word_len BETWEEN 3.0 AND 10.0
+                             AND symbol_ratio <= 0.1
+                             AND frac_alpha_words >= 0.8
+                             AND n_stopwords >= 2
+                             AND frac_bullet_lines <= 0.9
+                             AND frac_ellipsis_lines <= 0.3
+                        THEN 1 ELSE 0 END AS INT) AS keep
+        FROM s
+    """,
+    "repetition_ngrams": """
+        WITH d AS (
+            SELECT doc_id, text, string_split(text, ' ') AS w
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ), grams AS (
+            SELECT doc_id, len(text) AS n_chars_t,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1])) AS ngram
+            FROM d
+        ), counts AS (
+            SELECT doc_id, n_chars_t, ngram, count(*) AS cnt
+            FROM grams GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, ngram AS top_ngram,
+               CAST(cnt AS BIGINT) AS top_ngram_n,
+               round(cnt * len(ngram) / CAST(n_chars_t AS DOUBLE), 6)
+                   AS top_ngram_char_frac
+        FROM counts
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY cnt DESC, ngram DESC) = 1
+    """,
+    "pii_scrub": """
+        WITH planted AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.0.1' ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN ' call 555-0142' ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                   '\\b\\d{1,3}[.]\\d{1,3}[.]\\d{1,3}[.]\\d{1,3}\\b'))
+                   AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b'))
+                   AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}[.]\\d{1,3}[.]\\d{1,3}[.]\\d{1,3}\\b',
+                   '<IP>', 'g'),
+                   '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS scrubbed_hash
+        FROM planted
+    """,
     "doc_fingerprint": """
         WITH shingles AS (
             SELECT doc_id,

@@ -242,6 +242,32 @@ def _quality_score_q(spark, sf_dir):
     )
 
 
+def _quality_gopher_q(spark, sf_dir):
+    """Gopher-style rule battery (Rae et al. 2021 A1.1) — the real
+    quality filter a pre-training pipeline runs; one codegen'd
+    projection, no shuffle."""
+    from kgkit.operators.text_quality import gopher_quality
+
+    return gopher_quality(_documents(spark, sf_dir))
+
+
+def _repetition_ngrams_q(spark, sf_dir):
+    """Gopher repetition signal: top word-2-gram per doc + the fraction
+    of document characters it covers."""
+    from kgkit.operators.text_quality import top_ngram_stats
+
+    return top_ngram_stats(_documents(spark, sf_dir), n=2)
+
+
+def _pii_scrub_q(spark, sf_dir):
+    """PII detect + scrub over a deterministically-planted corpus (the
+    synthetic docs are PII-free, so positives are planted identically
+    in the Spark plan and the DuckDB oracle)."""
+    from kgkit.operators.text_quality import pii_scrub, plant_pii
+
+    return pii_scrub(plant_pii(_documents(spark, sf_dir)))
+
+
 def _doc_fingerprint_q(spark, sf_dir):
     """Winnowing-style fingerprint: min md5 over word 3-gram shingles —
     pure column expressions, zero shuffle."""
@@ -675,6 +701,9 @@ QUERIES = {
     "lang_id": _lang_id_q,
     "token_count": _token_count_q,
     "quality_score": _quality_score_q,
+    "quality_gopher": _quality_gopher_q,
+    "repetition_ngrams": _repetition_ngrams_q,
+    "pii_scrub": _pii_scrub_q,
     "doc_fingerprint": _doc_fingerprint_q,
     "dedup_exact": _dedup_exact_q,
     "dedup_minhash_lsh": _dedup_minhash_q,
