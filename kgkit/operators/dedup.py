@@ -159,9 +159,18 @@ def minhash_near_dups(
     bands: int = 4,
     rows: int = 2,
     threshold: float = 0.5,
+    persist: bool = True,
 ) -> DataFrame:
-    """Full MinHash-LSH pipeline: (doc_a, doc_b, jaccard) near-dup pairs."""
+    """Full MinHash-LSH pipeline: (doc_a, doc_b, jaccard) near-dup pairs.
+
+    ``shingled`` feeds both the signature path and the exact-Jaccard
+    verify (twice, as both join sides); persist avoids re-running the
+    shingling HOFs 3x (no ReusedExchange for lambda plans)."""
     shingled = with_shingles(docs)
+    if persist:
+        from pyspark import StorageLevel
+
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     bandt = lsh_band_table(minhash_signature(shingled, k), bands, rows)
     return verify_jaccard(candidate_pairs(bandt), shingled, threshold)
 
@@ -212,26 +221,39 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n: int = 3,
     max_df: int = 1000,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact all-pairs Jaccard >= threshold via an inverted-index
     self-join on shingles.  ``max_df`` drops shingles occurring in more
     than that many documents (stop-shingle pruning): a boilerplate
     shingle shared by millions of pages would otherwise quadratically
-    dominate the join — the standard skew guard for this operator."""
+    dominate the join — the standard skew guard for this operator.
+
+    The exploded (doc_id, shingle) index fans out four ways (df counts,
+    both join sides, per-doc sizes); HOF-lambda plans don't canonicalize
+    into a ReusedExchange (CLAUDE.md), so without ``persist`` the
+    split+md5 shingling recomputes 4x.  MEMORY_AND_DISK keeps the scale
+    path spill-safe."""
     shingled = with_shingles(docs, n)
     ex = shingled.select("doc_id", F.explode("sh").alias("s"))
-    df_counts = ex.groupBy("s").agg(F.count("*").alias("df_"))
-    ex = ex.join(df_counts.filter(F.col("df_") <= max_df), "s").select("doc_id", "s")
+    if persist:
+        from pyspark import StorageLevel
 
-    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    df_counts = ex.groupBy("s").agg(F.count("*").alias("df_"))
+    kept = ex.join(df_counts.filter(F.col("df_") <= max_df), "s").select("doc_id", "s")
+
+    a = kept.select(F.col("doc_id").alias("doc_a"), "s")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sizes = shingled.select("doc_id", "n_sh")
+    # per-doc shingle counts derived from the SAME persisted index (sh
+    # is already distinct per doc), not a second shingling pass
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("n_sh", "n_a"), "doc_a")
