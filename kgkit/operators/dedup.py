@@ -21,10 +21,14 @@ or key-partitioned joins — no UDFs, no driver loops:
                    hyperplanes, exact cosine verify inside buckets
                    (kgkit/operators/similarity.py shares the bucketer).
 
-MinHash uses the lexicographic MIN of md5 hex digests as the hash
-family (h_i(s) = md5(i || ':' || s)): md5 is the one hash both Spark
-and the DuckDB oracle evaluate identically, and the min of a uniform
-hex string is as valid a permutation-min estimator as an integer one.
+MinHash hashes each shingle ONCE (md5 prefix -> 28-bit fingerprint) and
+derives the k permutations by (a_i x + b_i) mod P integer mixing — md5
+is the one hash both Spark and the DuckDB oracle evaluate identically,
+and the arithmetic stays under 2^59 so neither engine overflows.
+
+``incremental_near_dups`` is the recrawl shape: a new snapshot batch is
+deduped AGAINST the existing corpus index (band-table equi-join), never
+corpus x corpus again.
 """
 
 from __future__ import annotations
@@ -137,10 +141,15 @@ def candidate_pairs(band_table: DataFrame) -> DataFrame:
     )
 
 
-def verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard on candidate pairs via array intersect/union sizes."""
+def verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float,
+                   shingled_b: DataFrame = None) -> DataFrame:
+    """Exact Jaccard on candidate pairs via array intersect/union sizes.
+    ``shingled_b`` lets the two pair sides come from different corpora
+    (incremental dedup); default is the self-join case."""
+    if shingled_b is None:
+        shingled_b = shingled
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sb = shingled_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -268,4 +277,58 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental (snapshot-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_near_dups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+    threshold: float = 0.5,
+    persist: bool = True,
+) -> DataFrame:
+    """(corpus_doc_id, new_doc_id, jaccard) — near-dups of a NEW batch
+    against an EXISTING corpus, the recrawl shape of web-scale dedup:
+    the corpus band table is computed once when the corpus is indexed
+    (at 10^12 docs it lives as a bucketed table keyed on
+    (band_idx, band_hash)); each new snapshot (~10^9 docs) computes
+    bands for ITS documents only and probes by equi-join.  The join is
+    corpus-bands x batch-bands — never corpus x corpus (already
+    deduped when indexed) and never batch x batch (that is the next
+    snapshot's corpus-vs-batch problem once the batch is merged) — so
+    per-snapshot work is O(batch) + one shuffle of the (tiny) batch
+    band table against the bucketed index, not a re-pairing of the
+    whole corpus."""
+    sh_c = with_shingles(corpus)
+    sh_b = with_shingles(batch)
+    if persist:
+        from pyspark import StorageLevel
+
+        sh_c = sh_c.persist(StorageLevel.MEMORY_AND_DISK)
+        sh_b = sh_b.persist(StorageLevel.MEMORY_AND_DISK)
+    bt_c = lsh_band_table(minhash_signature(sh_c, k), bands, rows).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_hash"
+    )
+    bt_b = lsh_band_table(minhash_signature(sh_b, k), bands, rows).select(
+        F.col("doc_id").alias("new_doc_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        bt_c.join(bt_b, ["band_idx", "band_hash"])
+        .select("corpus_doc_id", "new_doc_id")
+        .distinct()
+    )
+    pairs = cand.select(
+        F.col("corpus_doc_id").alias("doc_a"), F.col("new_doc_id").alias("doc_b")
+    )
+    return verify_jaccard(pairs, sh_c, threshold, shingled_b=sh_b).select(
+        F.col("doc_a").alias("corpus_doc_id"),
+        F.col("doc_b").alias("new_doc_id"),
+        "jaccard",
     )

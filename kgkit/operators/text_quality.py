@@ -177,3 +177,32 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_hash"),
     )
+
+
+# GPT-2-style pretokenizer regex, lookahead-free so the IDENTICAL
+# pattern runs on Java regex (Spark) and RE2 (DuckDB oracle): BPE
+# vocabularies segment on contractions / letter runs / digit runs /
+# punctuation runs, each optionally space-prefixed.
+BPE_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_distinct_bpe, chars_per_token) — token
+    counting with a BPE-ish pretokenizer regex (the unit LLM data
+    budgets are measured in), vs the whitespace counts of token_count.
+    One regexp_extract_all per doc, pure projection."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
+        F.when(n > 0, F.round(F.length("text") / n.cast("double"), 6))
+        .alias("chars_per_token"),
+    )

@@ -505,6 +505,22 @@ ORACLES = {
                          THEN 1 ELSE 0 END AS INT) AS keep
         FROM q
     """,
+    "token_count_bpe": """
+        WITH toks AS (
+            SELECT doc_id, len(text) AS n_chars_t,
+                   regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')
+                       AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_bpe,
+               CASE WHEN len(t) > 0
+                    THEN round(n_chars_t / CAST(len(t) AS DOUBLE), 6)
+               END AS chars_per_token
+        FROM toks
+    """,
     "quality_gopher": """
         WITH q AS (
             SELECT doc_id, text,
@@ -877,6 +893,36 @@ ORACLES = {
             JOIN shingled sb ON sb.doc_id = c.doc_b
         )
         SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+               round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+        FROM ver
+        WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+    """,
+    "dedup_incremental": f"""
+        WITH {PLANTED_DOCS_CTE}, {SHINGLED_CTE},
+        dig AS (
+            SELECT doc_id, sh,
+                   list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)
+                       AS d
+            FROM shingled
+        ),
+        signed AS (SELECT doc_id, sh, {_minhash_cols_sql()} FROM dig),
+        bandt AS ({_bands_sql()}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS corpus_doc_id, b.doc_id AS new_doc_id
+            FROM bandt a JOIN bandt b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            WHERE a.doc_id < 100000 AND b.doc_id >= 100000
+        ),
+        ver AS (
+            SELECT c.corpus_doc_id, c.new_doc_id,
+                   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+                   len(sa.sh) AS n_a, len(sb.sh) AS n_b
+            FROM cand c
+            JOIN shingled sa ON sa.doc_id = c.corpus_doc_id
+            JOIN shingled sb ON sb.doc_id = c.new_doc_id
+        )
+        SELECT CAST(corpus_doc_id AS BIGINT) AS corpus_doc_id,
+               CAST(new_doc_id AS BIGINT) AS new_doc_id,
                round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
         FROM ver
         WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5

@@ -242,6 +242,14 @@ def _quality_score_q(spark, sf_dir):
     )
 
 
+def _token_count_bpe_q(spark, sf_dir):
+    """Token counting with a BPE-ish pretokenizer regex (lookahead-free
+    GPT-2 pattern shared verbatim with the DuckDB oracle)."""
+    from kgkit.operators.text_quality import bpe_token_stats
+
+    return bpe_token_stats(_documents(spark, sf_dir))
+
+
 def _quality_gopher_q(spark, sf_dir):
     """Gopher-style rule battery (Rae et al. 2021 A1.1) — the real
     quality filter a pre-training pipeline runs; one codegen'd
@@ -294,6 +302,24 @@ def _dedup_minhash_q(spark, sf_dir):
     d = minhash_near_dups(_planted_docs(spark, sf_dir))
     return d.select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard"
+    )
+
+
+def _dedup_incremental_q(spark, sf_dir):
+    """Snapshot-vs-corpus dedup (the recrawl shape): planted copies play
+    the new batch, originals the indexed corpus; only cross pairs are
+    candidates."""
+    from kgkit.operators.dedup import incremental_near_dups
+
+    planted = _planted_docs(spark, sf_dir)
+    d = incremental_near_dups(
+        planted.filter(F.col("doc_id") < 100_000),
+        planted.filter(F.col("doc_id") >= 100_000),
+    )
+    return d.select(
+        F.col("corpus_doc_id").cast("long").alias("corpus_doc_id"),
+        F.col("new_doc_id").cast("long").alias("new_doc_id"),
+        "jaccard",
     )
 
 
@@ -701,12 +727,14 @@ QUERIES = {
     "lang_id": _lang_id_q,
     "token_count": _token_count_q,
     "quality_score": _quality_score_q,
+    "token_count_bpe": _token_count_bpe_q,
     "quality_gopher": _quality_gopher_q,
     "repetition_ngrams": _repetition_ngrams_q,
     "pii_scrub": _pii_scrub_q,
     "doc_fingerprint": _doc_fingerprint_q,
     "dedup_exact": _dedup_exact_q,
     "dedup_minhash_lsh": _dedup_minhash_q,
+    "dedup_incremental": _dedup_incremental_q,
     "dedup_simhash": _dedup_simhash_q,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard_q,
     "dedup_embedding_cosine": _dedup_embedding_q,

@@ -83,3 +83,28 @@ class TestSkewSalting:
         assert counts[0]["obj"] == "Q5"  # canonical hub ('join' ∪ 'hash join')
         tail = [r["n_triples"] for r in counts[1:]]
         assert counts[0]["n_triples"] > 1.3 * max(tail)  # clear Zipf head
+
+
+class TestIncrementalDedup:
+    def test_batch_pairs_only_against_corpus(self, spark):
+        """Cross pairs are found; batch-vs-batch and corpus-vs-corpus
+        pairs are never emitted (the recrawl contract)."""
+        from kgkit.operators.dedup import incremental_near_dups
+
+        base = " ".join(f"w{i} common text body token" for i in range(8))
+        corpus = spark.createDataFrame(
+            [(1, base), (2, "totally different other words " * 5)],
+            "doc_id long, text string",
+        )
+        # 101 == doc 1 exactly; 102 and 103 duplicate EACH OTHER but
+        # match nothing in the corpus
+        twin = "identical orphan pair body " * 6
+        batch = spark.createDataFrame(
+            [(101, base), (102, twin), (103, twin)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["corpus_doc_id"], r["new_doc_id"], r["jaccard"])
+            for r in incremental_near_dups(corpus, batch).collect()
+        }
+        assert got == {(1, 101, 1.0)}

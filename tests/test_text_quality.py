@@ -104,3 +104,21 @@ class TestPiiScrub:
         assert planted[7]["text"].endswith("user7@example.com")
         assert planted[11]["text"].endswith("10.11.0.1")
         assert planted[13]["text"].endswith("call 555-0142")
+
+
+class TestBpeTokenStats:
+    def test_segmentation(self, spark):
+        from kgkit.operators.text_quality import bpe_token_stats
+
+        # "Alice" "'s" " 42" " cats" "!" -> 5 tokens, all distinct
+        text = "Alice's 42 cats!"
+        row = bpe_token_stats(_docs(spark, [text])).collect()[0]
+        assert row["n_bpe_tokens"] == 5
+        assert row["n_distinct_bpe"] == 5
+        assert row["chars_per_token"] == pytest.approx(len(text) / 5, abs=1e-6)
+
+    def test_empty_text_null_ratio(self, spark):
+        from kgkit.operators.text_quality import bpe_token_stats
+
+        row = bpe_token_stats(_docs(spark, [""])).collect()[0]
+        assert row["n_bpe_tokens"] == 0 and row["chars_per_token"] is None
