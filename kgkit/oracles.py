@@ -298,6 +298,100 @@ _COS_SQL = """round(list_dot_product(ea, eb)
                   * sqrt(list_dot_product(eb, eb))), 6)"""
 
 
+def _qcos(a: str, b: str) -> str:
+    """Cosine between two BIGINT[] columns in double precision —
+    sequential left-to-right accumulation, same as the Spark engine's
+    kgkit.operators.linking.cosine fold."""
+    da, db = f"CAST({a} AS DOUBLE[])", f"CAST({b} AS DOUBLE[])"
+    return (f"(list_dot_product({da}, {db}) / "
+            f"(sqrt(list_dot_product({da}, {da})) * "
+            f"sqrt(list_dot_product({db}, {db}))))")
+
+
+def _ivf_kmeans_sql(n_cells: int = 8, n_probe: int = 2, iters: int = 2,
+                    k: int = 3, scale: int = 1_000_000) -> str:
+    """CTE-for-CTE mirror of similarity.ivf_kmeans_topk: integer
+    quantization, seed centroids, ``iters`` Lloyd iterations with exact
+    BIGINT sum centroids, final n_probe search with exact float cosine."""
+    parts = [f"""
+        corpus AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id >= 10
+        ),
+        queries AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 10
+        ),
+        qc AS (
+            SELECT neighbor_id, ce,
+                   list_transform(ce, x -> CAST(round(x * {scale}, 0) AS BIGINT)) AS qv
+            FROM corpus
+        ),
+        qq AS (
+            SELECT query_id, qe,
+                   list_transform(qe, x -> CAST(round(x * {scale}, 0) AS BIGINT)) AS qv
+            FROM queries
+        ),
+        cents0 AS (
+            SELECT neighbor_id AS cell, qv AS cv
+            FROM qc ORDER BY neighbor_id LIMIT {n_cells}
+        )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        assign{i} AS (
+            SELECT qv, cell FROM (
+                SELECT c.qv, t.cell,
+                       row_number() OVER (PARTITION BY c.neighbor_id
+                           ORDER BY {_qcos('c.qv', 't.cv')} DESC, t.cell ASC
+                       ) AS crnk
+                FROM qc c CROSS JOIN cents{i - 1} t
+            ) WHERE crnk = 1
+        ),
+        comp{i} AS (
+            SELECT cell, generate_subscripts(qv, 1) AS pos, unnest(qv) AS val
+            FROM assign{i}
+        ),
+        cents{i} AS (
+            SELECT cell, list(s ORDER BY pos) AS cv FROM (
+                SELECT cell, pos, SUM(val) AS s FROM comp{i} GROUP BY 1, 2
+            ) GROUP BY cell
+        )""")
+    parts.append(f""",
+        cassign AS (
+            SELECT neighbor_id, ce, cell FROM (
+                SELECT c.neighbor_id, c.ce, t.cell,
+                       row_number() OVER (PARTITION BY c.neighbor_id
+                           ORDER BY {_qcos('c.qv', 't.cv')} DESC, t.cell ASC
+                       ) AS crnk
+                FROM qc c CROSS JOIN cents{iters} t
+            ) WHERE crnk <= 1
+        ),
+        qassign AS (
+            SELECT query_id, qe, cell FROM (
+                SELECT q.query_id, q.qe, t.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_qcos('q.qv', 't.cv')} DESC, t.cell ASC
+                       ) AS crnk
+                FROM qq q CROSS JOIN cents{iters} t
+            ) WHERE crnk <= {n_probe}
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   max(round(list_dot_product(qe, ce)
+                       / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 6)) AS cos
+            FROM qassign q JOIN cassign c USING (cell)
+            GROUP BY query_id, neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}""")
+    return "WITH " + "".join(parts)
+
+
 ORACLES = {
     "kg_mentions": f"""
         WITH {MENTIONS_CTE}
@@ -995,6 +1089,7 @@ ORACLES = {
             FROM scored
         ) WHERE rnk <= 3
     """,
+    "ann_topk_ivf_kmeans": _ivf_kmeans_sql(),
     "ann_topk_ivf": """
         WITH corpus AS (
             SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce

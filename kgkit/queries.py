@@ -374,6 +374,24 @@ def _ann_topk_ivf_q(spark, sf_dir):
     )
 
 
+def _ann_topk_ivf_kmeans_q(spark, sf_dir):
+    """IVF ANN with a REAL spherical k-means coarse quantizer (2 Lloyd
+    iterations, integer-quantized exact sum centroids) — upgrades
+    ann_topk_ivf's seed-only placeholder."""
+    from kgkit.operators.similarity import ivf_kmeans_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return ivf_kmeans_topk(queries, corpus, k=3).select(
+        F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"), "rank"
+    )
+
+
 def _ann_topk_lsh_q(spark, sf_dir):
     """Sign-LSH bucketed ANN (the scale path next to brute-force ann_topk)."""
     from kgkit.operators.similarity import lsh_topk
@@ -740,6 +758,7 @@ QUERIES = {
     "dedup_embedding_cosine": _dedup_embedding_q,
     "ann_topk_lsh": _ann_topk_lsh_q,
     "ann_topk_ivf": _ann_topk_ivf_q,
+    "ann_topk_ivf_kmeans": _ann_topk_ivf_kmeans_q,
     "media_stats": _media_stats_q,
     "media_frame_sample": _media_frame_sample_q,
     "media_byte_histogram": _media_byte_histogram_q,
