@@ -74,10 +74,17 @@ def mersenne_shuffle(df: DataFrame, key: str, seed: int) -> DataFrame:
 
     Input keys are collected in ascending ``key`` order (the reference
     shuffles its file-order list; callers with a meaningful file order
-    should pre-sort accordingly)."""
+    should pre-sort accordingly).  ``key`` must be UNIQUE per row — the
+    (key, shuffle_pos) map joins back by equality, so a duplicated key
+    would fan its rows out once per duplicate position (asserted)."""
     import random
 
     keys = [r[0] for r in df.select(key).orderBy(key).collect()]
+    if len(keys) != len(set(keys)):
+        raise ValueError(
+            f"mersenne_shuffle requires unique values in {key!r}: "
+            f"{len(keys)} rows but {len(set(keys))} distinct keys"
+        )
     random.Random(seed).shuffle(keys)
     pos_df = df.sparkSession.createDataFrame(
         [(k, i) for i, k in enumerate(keys)],

@@ -11,7 +11,9 @@ or key-partitioned joins — no UDFs, no driver loops:
                    Only documents sharing a band collide; the shuffle is
                    keyed by (band_idx, band_hash) — uniform unless the
                    corpus is pathologically boilerplate-heavy, in which
-                   case `max_bucket` caps a bucket's contribution.
+                   case buckets over `max_bucket` members are dropped
+                   whole (boilerplate class, not pair candidates) with
+                   the dropped mass reported via observation metrics.
   * SimHash      — per-word md5 bits -> weighted bit-majority signature;
                    near-dups share all but <=hamming_budget bits.
   * n-gram Jaccard (exact) — inverted-index self-join on shingles with a
@@ -123,14 +125,59 @@ def lsh_band_table(signed: DataFrame, bands: int = 4, rows: int = 2) -> DataFram
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
 
-def candidate_pairs(band_table: DataFrame) -> DataFrame:
+def _cap_buckets(band_table: DataFrame, max_bucket: int,
+                 observation=None) -> DataFrame:
+    """Drop band buckets with more than ``max_bucket`` members — the
+    boilerplate skew guard: a bucket of size m yields m(m-1)/2 pairs,
+    so one site template shared by 10^8 pages would go quadratic.  A
+    bucket over the cap holds documents more alike than any Jaccard
+    threshold distinguishes (they agree on a whole band of minhashes
+    en masse); treating them as a boilerplate CLASS rather than pair
+    candidates is the standard LSH degeneracy handling.
+
+    Truncation is never silent: pass a ``pyspark.sql.Observation`` to
+    receive (buckets_dropped, band_rows_dropped) as free observation
+    metrics on the first action — no extra job, unlike an eager count.
+    The bucket-size annotation is a window count over the SAME
+    (band_idx, band_hash) key the subsequent self-join shuffles on, so
+    AQE coalesces the two into one exchange of the band table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash")
+    sized = band_table.withColumn("_bsz", F.count("*").over(w))
+    if observation is not None:
+        # metrics ride the plan for free; candidate_pairs attaches this
+        # to ONE self-join branch only (a CollectMetrics node must be
+        # unique per plan, and the metric-free twin branch stays
+        # plan-identical to the scan for exchange reuse).  Observed
+        # metrics forbid DISTINCT, so buckets are counted by marking
+        # each bucket's first row with a row_number over the same key.
+        marked = sized.withColumn(
+            "_brn", F.row_number().over(w.orderBy("doc_id"))
+        ).observe(
+            observation,
+            F.sum(
+                F.when((F.col("_bsz") > max_bucket) & (F.col("_brn") == 1), 1)
+                .otherwise(0)
+            ).alias("buckets_dropped"),
+            F.sum(
+                F.when(F.col("_bsz") > max_bucket, 1).otherwise(0)
+            ).alias("band_rows_dropped"),
+        )
+        return marked.filter(F.col("_bsz") <= max_bucket).drop("_bsz", "_brn")
+    return sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+
+
+def candidate_pairs(band_table: DataFrame, max_bucket: int = 1000,
+                    observation=None) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
     The self-join is keyed on (band_idx, band_hash) — colliding docs
-    only."""
-    a = band_table.select(
+    only; buckets larger than ``max_bucket`` are dropped entirely (see
+    ``_cap_buckets``; ``observation`` surfaces the dropped mass)."""
+    a = _cap_buckets(band_table, max_bucket, observation).select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
-    b = band_table.select(
+    b = _cap_buckets(band_table, max_bucket).select(
         F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
     )
     return (
@@ -169,19 +216,25 @@ def minhash_near_dups(
     rows: int = 2,
     threshold: float = 0.5,
     persist: bool = True,
+    max_bucket: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: (doc_a, doc_b, jaccard) near-dup pairs.
 
     ``shingled`` feeds both the signature path and the exact-Jaccard
     verify (twice, as both join sides); persist avoids re-running the
-    shingling HOFs 3x (no ReusedExchange for lambda plans)."""
+    shingling HOFs 3x (no ReusedExchange for lambda plans).
+    ``max_bucket``/``observation`` are the boilerplate-bucket skew cap
+    and its dropped-mass reporting (see ``candidate_pairs``)."""
     shingled = with_shingles(docs)
     if persist:
         from pyspark import StorageLevel
 
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     bandt = lsh_band_table(minhash_signature(shingled, k), bands, rows)
-    return verify_jaccard(candidate_pairs(bandt), shingled, threshold)
+    pairs = candidate_pairs(bandt, max_bucket=max_bucket,
+                            observation=observation)
+    return verify_jaccard(pairs, shingled, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -293,6 +346,7 @@ def incremental_near_dups(
     rows: int = 2,
     threshold: float = 0.5,
     persist: bool = True,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """(corpus_doc_id, new_doc_id, jaccard) — near-dups of a NEW batch
     against an EXISTING corpus, the recrawl shape of web-scale dedup:
@@ -305,7 +359,10 @@ def incremental_near_dups(
     snapshot's corpus-vs-batch problem once the batch is merged) — so
     per-snapshot work is O(batch) + one shuffle of the (tiny) batch
     band table against the bucketed index, not a re-pairing of the
-    whole corpus."""
+    whole corpus.  ``max_bucket`` caps the CORPUS side's bucket size
+    (the side that can be boilerplate-degenerate at 10^12 docs); each
+    kept corpus bucket then contributes at most max_bucket pairs per
+    colliding batch row, so no bucket goes quadratic."""
     sh_c = with_shingles(corpus)
     sh_b = with_shingles(batch)
     if persist:
@@ -313,7 +370,9 @@ def incremental_near_dups(
 
         sh_c = sh_c.persist(StorageLevel.MEMORY_AND_DISK)
         sh_b = sh_b.persist(StorageLevel.MEMORY_AND_DISK)
-    bt_c = lsh_band_table(minhash_signature(sh_c, k), bands, rows).select(
+    bt_c = _cap_buckets(
+        lsh_band_table(minhash_signature(sh_c, k), bands, rows), max_bucket
+    ).select(
         F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_hash"
     )
     bt_b = lsh_band_table(minhash_signature(sh_b, k), bands, rows).select(

@@ -13,8 +13,9 @@ J2: ambiguous aliases (>1 candidate entity) are reranked by cosine
     (score, prior, entity_id) as the deterministic sort key.
 
 Scale design — TWO rerank strategies, selected by the size of the
-ambiguous candidate-entity set (counted distributively on the
-dictionary, never collected first):
+ambiguous candidate-entity set (one bounded ``limit(k+1).collect()``
+probe over the dictionary-derived relation: at most k+1 ints reach the
+driver no matter how large the KB is):
 
   * literal path (|ambiguous entities| <= max_literal_amb): rerank
     cosines are precomputed on the EMBEDDINGS table — one row per page,
@@ -116,13 +117,35 @@ def _small_enough(df: DataFrame, max_rows: int) -> bool:
     return df.limit(max_rows + 1).count() <= max_rows
 
 
+_BCAST_CACHE: dict = {}  # (appId, embeddings.semanticHash, max_rows) -> bool
+# memoized broadcast gate: the probe is one bounded count() job, but the
+# literal rerank runs once per pipeline invocation — without the memo
+# every memoized-strategy call still re-pays the probe job.  semanticHash
+# keys the decision to the actual embeddings plan, so a different table
+# in the same session probes again.
+
+
+def _scores_broadcastable(embeddings: DataFrame, max_rows: int) -> bool:
+    key = (
+        embeddings.sparkSession.sparkContext.applicationId,
+        embeddings.semanticHash(),
+        max_rows,
+    )
+    hit = _BCAST_CACHE.get(key)
+    if hit is None:
+        hit = _small_enough(embeddings.select("vec_id"), max_rows)
+        if len(_BCAST_CACHE) < 64:
+            _BCAST_CACHE[key] = hit
+    return hit
+
+
 def _literal_rerank(cands: DataFrame, embeddings: DataFrame,
                     amb_nums, scores_broadcast_rows: int) -> DataFrame:
     """Map-side rerank: per-page score map + array-sort winner."""
     scores = page_entity_scores(embeddings, amb_nums).select(
         F.col("vec_id"), F.col("escore")
     )
-    if _small_enough(embeddings.select("vec_id"), scores_broadcast_rows):
+    if _scores_broadcastable(embeddings, scores_broadcast_rows):
         scores = F.broadcast(scores)
     joined = cands.join(scores, F.col("doc_id") == F.col("vec_id"), "left")
 
@@ -215,10 +238,12 @@ def _join_rerank(cands: DataFrame, embeddings: DataFrame) -> DataFrame:
     return una.unionByName(best)
 
 
-_STRATEGY_CACHE: dict = {}  # applicationId -> (use_literal, amb_nums)
+_STRATEGY_CACHE: dict = {}  # (applicationId, max_literal_amb) -> (use_literal, amb_nums)
 # memo for the DEFAULT (static, per-job) alias dictionary only: the
 # strategy probe and the bounded amb-entity list cannot change within a
-# job, so repeated pipeline invocations must not re-pay the probe jobs
+# job, so repeated pipeline invocations must not re-pay the probe job.
+# max_literal_amb is part of the key — a later call with a different
+# threshold must re-decide, not reuse the old strategy.
 
 
 def link_mentions(
@@ -232,11 +257,13 @@ def link_mentions(
 
     Unlinkable mentions (surface not in the dictionary) are dropped —
     they carry no KG signal downstream.  The rerank strategy is chosen
-    by the number of distinct ambiguous candidate entities, counted
-    with a distributed aggregate over the (dictionary-cardinality)
-    alias table; the driver never collects anything unbounded (the
-    bounded amb-entity list is only collected AFTER the count gate
-    proves it small).
+    by the number of distinct ambiguous candidate entities: ONE bounded
+    job runs ``limit(max_literal_amb + 1).collect()`` over the
+    (dictionary-cardinality) distinct amb-entity relation — it both
+    decides the gate (more than max_literal_amb rows came back) and
+    delivers the bounded literal list, so the driver never receives
+    more than max_literal_amb + 1 ints and the gate + collect of the
+    previous design collapse into a single job.
     """
     spark = mentions.sparkSession
     default_dict = aliases is None
@@ -251,7 +278,10 @@ def link_mentions(
         F.count("*").alias("n_cands"),
     )
 
-    cache_key = spark.sparkContext.applicationId if default_dict else None
+    cache_key = (
+        (spark.sparkContext.applicationId, max_literal_amb)
+        if default_dict else None
+    )
     cached = _STRATEGY_CACHE.get(cache_key) if default_dict else None
     if cached is not None:
         use_literal, amb_nums = cached
@@ -265,11 +295,13 @@ def link_mentions(
         .select(F.explode(F.col("cands")["entity_num"]).alias("n"))
         .distinct()
     )
-    use_literal = _small_enough(amb_num_df, max_literal_amb)
+    # single probe job: <= max_literal_amb + 1 ints ever reach the driver
+    amb_rows = amb_num_df.limit(max_literal_amb + 1).collect()
+    use_literal = len(amb_rows) <= max_literal_amb
 
     cands = cands_of(mentions, grouped)
     if use_literal:
-        amb_nums = sorted(int(r["n"]) for r in amb_num_df.collect())
+        amb_nums = sorted(int(r["n"]) for r in amb_rows)
         if default_dict:
             _STRATEGY_CACHE.clear()
             _STRATEGY_CACHE[cache_key] = (True, amb_nums)

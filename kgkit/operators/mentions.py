@@ -100,10 +100,15 @@ def word_probas(pages: DataFrame, model: str = "numpy") -> DataFrame:
     row per word and annotation class.  With model='numpy' the
     probabilities are a REAL softmax over the NumpyTagger's logits
     tensor; the raw doubles are emitted and rounding happens natively
-    so Spark and the DuckDB oracle share one rounding rule."""
-    from kgkit.ner_core.tagger import GazetteerTagger
+    so Spark and the DuckDB oracle share one rounding rule.
 
-    classes = GazetteerTagger().annotation_classes  # fixed order, O first
+    The class order comes from the SAME model spec the workers resolve
+    (a 'ckpt:<path>' model therefore needs its checkpoint readable on
+    the driver too — true for local mode and for --files shipping,
+    which also places the file in the driver's working dir), and the
+    UDF re-validates it: a worker whose resolved model disagrees on
+    the label universe raises instead of silently zeroing classes."""
+    classes = _resolve_tagger(model).annotation_classes  # fixed order, O first
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from kgkit.ner_core.pipeline import predict_proba
@@ -111,6 +116,11 @@ def word_probas(pages: DataFrame, model: str = "numpy") -> DataFrame:
 
         tokenizer = default_tokenizer()
         tagger = _resolve_tagger(model)
+        if tagger.annotation_classes != classes:
+            raise ValueError(
+                f"worker model classes {tagger.annotation_classes} != "
+                f"driver-resolved classes {classes} for model={model!r}"
+            )
         for pdf in batches:
             out = {"url": [], "pos": [], "probas": []}
             results = predict_proba(

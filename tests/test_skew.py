@@ -85,6 +85,64 @@ class TestSkewSalting:
         assert counts[0]["n_triples"] > 1.3 * max(tail)  # clear Zipf head
 
 
+class TestBoilerplateBucketCap:
+    """LSH degeneracy guard: a band bucket shared by a whole site
+    template must not go quadratic (kgkit/operators/dedup.py
+    _cap_buckets / candidate_pairs max_bucket)."""
+
+    def test_degenerate_bucket_dropped_and_reported(self, spark):
+        from pyspark.sql import Observation
+
+        from kgkit.operators.dedup import minhash_near_dups
+
+        boiler = "site template nav footer copyright " * 4
+        pair = "unique page body with shared tokens " * 4
+        rows = [(i, boiler) for i in range(40)] + [(100, pair), (101, pair)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        obs = Observation("lsh_cap")
+        got = minhash_near_dups(
+            docs, max_bucket=10, observation=obs, persist=False
+        ).collect()
+        # the boilerplate class contributes NO pairs; the true pair stays
+        assert {(r["doc_a"], r["doc_b"]) for r in got} == {(100, 101)}
+        # dropped mass is reported, not silent: 40 identical docs share
+        # one bucket in each of the 4 bands
+        assert obs.get["buckets_dropped"] == 4
+        assert obs.get["band_rows_dropped"] == 160
+
+    def test_cap_inactive_below_threshold(self, spark):
+        """With the default cap the same corpus yields every
+        boilerplate pair — the cap only bites on degenerate buckets."""
+        from kgkit.operators.dedup import minhash_near_dups
+
+        boiler = "site template nav footer copyright " * 4
+        rows = [(i, boiler) for i in range(10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = minhash_near_dups(docs, persist=False).collect()
+        assert len(got) == 10 * 9 // 2
+        assert all(r["jaccard"] == 1.0 for r in got)
+
+    def test_incremental_corpus_side_capped(self, spark):
+        from kgkit.operators.dedup import incremental_near_dups
+
+        boiler = "site template nav footer copyright " * 4
+        real = "genuine article body with words " * 4
+        corpus = spark.createDataFrame(
+            [(i, boiler) for i in range(30)] + [(50, real)],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100, boiler), (101, real)], "doc_id long, text string"
+        )
+        got = {
+            (r["corpus_doc_id"], r["new_doc_id"])
+            for r in incremental_near_dups(corpus, batch, max_bucket=10).collect()
+        }
+        # the boilerplate batch page matches NOTHING (its corpus bucket
+        # was dropped); the genuine page still finds its corpus twin
+        assert got == {(50, 101)}
+
+
 class TestIncrementalDedup:
     def test_batch_pairs_only_against_corpus(self, spark):
         """Cross pairs are found; batch-vs-batch and corpus-vs-corpus

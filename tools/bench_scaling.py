@@ -99,7 +99,7 @@ def worker(cpus: int, path: str, sf_dir: str) -> None:
         full_pipeline()                      # JITs; 2x — walls keep falling
                                              # after one warmup at high core
                                              # counts, see BASELINE.md)
-        # two measured passes, best taken (standard steady-state
+        # four measured passes, best taken (standard steady-state
         # methodology; GC pauses in a 30s window otherwise add ±20%).
         # Caches are dropped before each pass so all stages recompute;
         # the canonical-map memo is NOT cleared: the alias dictionary is
