@@ -58,13 +58,26 @@ def _chunks_sql(src: str) -> str:
 # ---------------------------------------------------------------------------
 
 # words of each document with char offsets (whitespace tokenization == the
-# pretokenizer on this corpus: texts are single-spaced [a-z ] only)
-WORDS_CTE = """
+# pretokenizer on this corpus: texts are single-spaced and
+# punctuation-free — driver docs are [a-z ], planted pages obey the
+# kgkit/sources/planted.py invariant).  ner_docs = driver corpus + the
+# planted OOV/CJK/emoji pages, the same union kgkit.queries._pages
+# feeds the Spark side: non-ASCII words go through [UNK] -> restore in
+# the pipeline but surface as themselves at word level, so split+running
+# -length stays the exact mirror.
+from kgkit.sources.planted import planted_values_sql as _planted_values_sql
+
+WORDS_CTE = f"""
+ner_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT * FROM {_planted_values_sql()} pn(doc_id, text)
+),
 words AS (
     SELECT doc_id,
            unnest(string_split(text, ' ')) AS word,
            CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
-    FROM documents
+    FROM ner_docs
 ),
 pw AS (
     SELECT doc_id, word, pos,

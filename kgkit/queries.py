@@ -19,7 +19,14 @@ from kgkit.sources.pages import load_pages, pages_for_mentions
 
 
 def _pages(spark, sf_dir):
-    return pages_for_mentions(load_pages(spark, sf_dir))
+    """NER input = driver corpus + the planted OOV/CJK/emoji pages
+    (kgkit/sources/planted.py) — the oracle WORDS_CTE unions the same
+    rows, so the [UNK]-restoration path is hash-checked corpus-wide."""
+    from kgkit.sources.planted import planted_ner_pages
+
+    return pages_for_mentions(load_pages(spark, sf_dir)).unionByName(
+        planted_ner_pages(spark)
+    )
 
 
 def _embeddings(spark, sf_dir):

@@ -507,3 +507,70 @@ class TestPretokenize:
         text = "we are in stockholm."
         for word, (s, e) in pretokenize(text):
             assert text[s:e] == word
+
+
+# ---------------------------------------------------------------------------
+# planted OOV/CJK/emoji corpus pages (kgkit/sources/planted.py)
+# ---------------------------------------------------------------------------
+
+class TestPlantedPages:
+    """The corpus-level [UNK]-restoration fixtures must keep the
+    word-level SQL mirror valid (see the planted.py module docstring)."""
+
+    def test_single_space_invariant(self):
+        from kgkit.sources.planted import PLANTED_NER_TEXTS
+
+        for t in PLANTED_NER_TEXTS:
+            assert "'" not in t and "  " not in t
+            got = pretokenize(t)
+            words = t.split(" ")
+            offs, c = [], 0
+            for w in words:
+                offs.append((c, c + len(w)))
+                c += len(w) + 1
+            assert got == list(zip(words, offs)), t
+
+    def test_word_level_restore_is_exact(self):
+        """predict(level='word') over every planted page returns exactly
+        the whitespace words with cumulative offsets — i.e. the
+        restoration heuristics recover every [UNK] surface."""
+        from kgkit.ner_core import predict
+        from kgkit.sources.planted import PLANTED_NER_TEXTS
+
+        results = predict(list(PLANTED_NER_TEXTS), level="word")
+        for t, recs in zip(PLANTED_NER_TEXTS, results):
+            words = t.split(" ")
+            assert [r["token"] for r in recs] == words, t
+            c = 0
+            for w, r in zip(words, recs):
+                assert (int(r["char_start"]), int(r["char_end"])) == (c, c + len(w))
+                c += len(w) + 1
+
+    def test_unk_paths_actually_exercised(self):
+        """The fixtures must really route words through [UNK] (else they
+        test nothing): count OOV words and consecutive-OOV runs."""
+        from kgkit.ner_core.wordpiece import UNK, default_tokenizer
+        from kgkit.sources.planted import PLANTED_NER_TEXTS
+
+        tok = default_tokenizer()
+        n_unk = 0
+        max_run = 0
+        for t in PLANTED_NER_TEXTS:
+            run = 0
+            for w in t.split(" "):
+                if tok.tokenize_word(w) == [UNK]:
+                    n_unk += 1
+                    run += 1
+                    max_run = max(max_run, run)
+                else:
+                    run = 0
+        assert n_unk >= 15, n_unk      # plenty of restore work
+        assert max_run >= 4, max_run   # multi-[UNK] margin propagation
+
+    def test_entity_byte_identity_on_planted(self):
+        from kgkit.ner_core import predict
+        from kgkit.sources.planted import PLANTED_NER_TEXTS
+
+        for t in PLANTED_NER_TEXTS:
+            for r in predict([t], level="entity", autocorrect=True)[0]:
+                assert t[int(r["char_start"]):int(r["char_end"])] == r["token"]
