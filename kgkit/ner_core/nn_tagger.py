@@ -285,13 +285,25 @@ def default_numpy_tagger() -> NumpyTagger:
     return _DEFAULT
 
 
-def checkpoint_tagger(path: str) -> NumpyTagger:
+def load_checkpoint(path: str):
+    """S7 checkpoint dispatch by the npz ``kind`` field: 'trained' ->
+    kgkit.ner_core.trained.TrainedTagger (hash-feature trained head),
+    anything else -> the distilled NumpyTagger format."""
+    ckpt = np.load(path if path.endswith(".npz") else path + ".npz")
+    if "kind" in getattr(ckpt, "files", []) and str(ckpt["kind"]) == "trained":
+        from kgkit.ner_core.trained import TrainedTagger
+
+        return TrainedTagger.load(path)
+    return NumpyTagger.load(path)
+
+
+def checkpoint_tagger(path: str):
     """Executor-local checkpoint load, memoized per path: each python
     worker deserializes the weights once, like the reference's
     per-process from_pretrained model cache."""
     model = _CKPT_CACHE.get(path)
     if model is None:
-        model = NumpyTagger.load(path)
+        model = load_checkpoint(path)
         if len(_CKPT_CACHE) < 16:
             _CKPT_CACHE[path] = model
     return model

@@ -1,0 +1,187 @@
+"""TRAINED numpy token-classification head — the non-distilled M1/M2/M3 path.
+
+Where kgkit.ner_core.nn_tagger.NumpyTagger is a provably-lossless
+distillation of the gazetteer (its argmax can never disagree with the
+rule tagger), this model is the real thing the reference lifecycle
+implies (nerblackbox/api/model.py:464-505): a checkpoint of weights fit
+by seeded gradient descent on a synthetic distantly-supervised corpus
+(tools/train_tagger.py), whose predictions CAN and DO disagree with the
+gazetteer — the whole W1-W8 post-processing lifecycle downstream of it
+therefore runs on genuinely model-derived tags, and the DuckDB oracle
+checks the forward pass itself (embedding lookup -> matmul -> argmax /
+softmax re-computed relationally, kgkit/oracles.py trained CTEs).
+
+Architecture (identical feature definition in numpy and SQL):
+  * three context channels per word position — (word|next), (prev|word),
+    (word) — with '' at slice boundaries and '[unk]' for words the
+    WordPiece vocabulary cannot tokenize, exactly the view
+    ``_words_of_slice`` gives the distilled model;
+  * FEATURE-HASHED sparse sign embeddings: key k activates N_HASH=4
+    dims of an EMB_DIM=32-wide channel with ±1 signs, both derived from
+    md5(k) hex bytes — md5 is the one hash Spark-side python and DuckDB
+    evaluate identically, which is what makes the forward pass itself
+    oracle-checkable (the distilled model's gaussian-noise embeddings
+    were not);
+  * linear head logits = X @ W + b over the 3*EMB_DIM features.
+
+Exact cross-engine arithmetic: the trained weights are QUANTIZED to the
+1/1024 grid (W = Wq/1024 with integer Wq, |Wq| < 2^15).  Every entry of
+X is a small integer (sum of ±1 over <= N_HASH dims), so each product
+and every partial sum in the float32 matmul is an integer multiple of
+1/1024 below 2^24 — exactly representable, independent of summation
+order.  float32 logits are therefore bit-equal to the BIGINT arithmetic
+``(sum(sgn*Wq) + bq) / 1024`` the oracle runs, and argmax (numpy takes
+the FIRST maximal index == ORDER BY z DESC, cls_id ASC) matches
+tie-for-tie.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from kgkit.ner_core.nn_tagger import NumpyTagger
+
+EMB_DIM = 32       # dims per channel; 3 channels -> 96 features
+N_HASH = 4         # active dims per feature key
+Q = 1024           # weight quantization grid (power of two: /Q is exact)
+
+_ODD_HEX = set("13579bdf")
+
+DEFAULT_CKPT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "checkpoints", "trained_v1.npz"
+)
+
+
+def feature_dims(key: str) -> List[tuple]:
+    """The N_HASH (dim, sign) activations of a feature key.
+
+    dim_i = int(md5hex[2i:2i+2], 16) % EMB_DIM   for i in 0..N_HASH-1
+    sign_i = +1 iff md5hex[8+i] is an odd hex digit else -1
+
+    The same bytes are read by the oracle SQL
+    (kgkit/oracles.py trained_contrib fragment) — change BOTH or neither.
+    """
+    h = hashlib.md5(key.encode("utf-8")).hexdigest()
+    return [
+        (int(h[2 * i: 2 * i + 2], 16) % EMB_DIM,
+         1 if h[8 + i] in _ODD_HEX else -1)
+        for i in range(N_HASH)
+    ]
+
+
+def embed_key(key: str) -> np.ndarray:
+    """Dense EMB_DIM vector of one key (duplicate dims accumulate)."""
+    v = np.zeros(EMB_DIM, dtype=np.float32)
+    for dim, sign in feature_dims(key):
+        v[dim] += sign
+    return v
+
+
+class TrainedTagger:
+    """Checkpoint-loaded trained head with the NumpyTagger surface
+    (tag_slice / tag_slice_proba / annotation_classes / forward /
+    decode_argmax / decode_proba / id2label)."""
+
+    def __init__(self, W: np.ndarray, b: np.ndarray, classes: Sequence[str]):
+        W = np.asarray(W, dtype=np.float32)
+        b = np.asarray(b, dtype=np.float32)
+        if W.shape != (3 * EMB_DIM, len(classes)) or b.shape != (len(classes),):
+            raise ValueError(f"bad trained head shapes {W.shape} / {b.shape}")
+        Wq = W * Q
+        bq = b * Q
+        if not (np.array_equal(Wq, np.rint(Wq)) and np.array_equal(bq, np.rint(bq))
+                and np.abs(Wq).max() < 2 ** 15 and np.abs(bq).max() < 2 ** 15):
+            raise ValueError(
+                "trained weights must lie on the 1/%d grid with |Wq| < 2^15 "
+                "(the exact-float32 precondition of the oracle twin)" % Q
+            )
+        self.W = W
+        self.b = b
+        self.annotation_classes: List[str] = list(classes)
+        self.id2label: Dict[int, str] = dict(enumerate(self.annotation_classes))
+        self.label2id = {v: k for k, v in self.id2label.items()}
+        self._emb_cache: Dict[str, np.ndarray] = {}
+
+    # -- embedding ---------------------------------------------------------
+    def _embed(self, key: str) -> np.ndarray:
+        vec = self._emb_cache.get(key)
+        if vec is None:
+            vec = embed_key(key)
+            if len(self._emb_cache) < 262_144:
+                self._emb_cache[key] = vec
+        return vec
+
+    # -- M1: forward pass --------------------------------------------------
+    def forward(self, slices: Sequence[Sequence[str]]) -> np.ndarray:
+        """subtoken slices -> logits [n_slices, seq, num_labels]; one
+        batched float32 matmul, exact on the 1/Q grid (module
+        docstring)."""
+        n = len(slices)
+        seq = max((len(s) for s in slices), default=0)
+        X = np.zeros((n, seq, 3 * EMB_DIM), dtype=np.float32)
+        for si, subtokens in enumerate(slices):
+            words, word_of = NumpyTagger._words_of_slice(subtokens)
+            lowered = [w.lower() for w in words]
+            for pos, wi in enumerate(word_of):
+                if wi < 0:
+                    continue  # special token: zero features -> bias decides
+                w = lowered[wi]
+                nxt = lowered[wi + 1] if wi + 1 < len(lowered) else ""
+                prv = lowered[wi - 1] if wi > 0 else ""
+                X[si, pos, 0:EMB_DIM] = self._embed(f"{w}|{nxt}")
+                X[si, pos, EMB_DIM:2 * EMB_DIM] = self._embed(f"{prv}|{w}")
+                X[si, pos, 2 * EMB_DIM:] = self._embed(w)
+        logits = X.reshape(n * seq, 3 * EMB_DIM) @ self.W + self.b
+        return logits.reshape(n, seq, len(self.annotation_classes))
+
+    # -- M2/M3 decode: identical semantics to the distilled model ----------
+    decode_argmax = NumpyTagger.decode_argmax
+    decode_proba = NumpyTagger.decode_proba
+    _content_len = staticmethod(NumpyTagger._content_len)
+    _pad_dist = NumpyTagger._pad_dist
+    tag_slice = NumpyTagger.tag_slice
+    tag_slice_proba = NumpyTagger.tag_slice_proba
+
+    # -- S7 checkpoint lifecycle -------------------------------------------
+    def save(self, path: str) -> None:
+        np.savez(
+            path if path.endswith(".npz") else path + ".npz",
+            kind=np.array("trained"),
+            W=self.W,
+            b=self.b,
+            classes=np.array(self.annotation_classes),
+            emb_dim=np.int64(EMB_DIM),
+            n_hash=np.int64(N_HASH),
+            q=np.int64(Q),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "TrainedTagger":
+        ckpt = np.load(path if path.endswith(".npz") else path + ".npz")
+        if str(ckpt.get("kind", "")) != "trained":
+            raise ValueError(f"{path} is not a trained-head checkpoint")
+        if (int(ckpt["emb_dim"]) != EMB_DIM or int(ckpt["n_hash"]) != N_HASH
+                or int(ckpt["q"]) != Q):
+            raise ValueError(
+                f"checkpoint {path} was written for a different feature "
+                "spec — retrain with tools/train_tagger.py"
+            )
+        return cls(ckpt["W"], ckpt["b"], [str(c) for c in ckpt["classes"]])
+
+
+_DEFAULT: Optional[TrainedTagger] = None
+
+
+def default_trained_tagger() -> TrainedTagger:
+    """Process-wide singleton over the packaged checkpoint (executor-
+    local model cache, SURVEY §4.3.4); the checkpoint file ships with
+    the package (it lives inside kgkit/), so --py-files delivery covers
+    it on a real cluster."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = TrainedTagger.load(DEFAULT_CKPT)
+    return _DEFAULT

@@ -34,13 +34,20 @@ MENTIONS_SCHEMA = (
 def _resolve_tagger(model: str):
     """Executor-local model resolution by NAME (the string pickles;
     the model object is built once per python worker): 'gazetteer' =
-    the rule stand-in, 'numpy' = the tensor-math NumpyTagger (M1-M3,
-    kgkit/ner_core/nn_tagger.py) — both produce identical tags, so
-    every downstream stage and oracle is valid for either."""
+    the rule stand-in; 'numpy' = the tensor-math distilled NumpyTagger
+    (argmax provably equals the gazetteer — the parity twin);
+    'trained' = the packaged TRAINED head (kgkit/ner_core/trained.py)
+    whose predictions genuinely diverge from the rules and whose
+    forward pass has its own DuckDB oracle; 'ckpt:<path>' = either
+    format loaded from an .npz (kind-dispatched)."""
     if model == "numpy":
         from kgkit.ner_core.nn_tagger import default_numpy_tagger
 
         return default_numpy_tagger()
+    if model == "trained":
+        from kgkit.ner_core.trained import default_trained_tagger
+
+        return default_trained_tagger()
     if model.startswith("ckpt:"):
         # S7 checkpoint source: 'ckpt:/path/model.npz' loads the numpy
         # model's weights from disk, once per python worker (the file is

@@ -139,6 +139,164 @@ mentions AS (
 """
 )
 
+# ---------------------------------------------------------------------------
+# TRAINED head (kgkit/ner_core/trained.py): the forward pass itself,
+# re-computed relationally — embedding lookup (md5-hashed sparse sign
+# features), matmul (weights join + integer sum), argmax (window) —
+# then BIO autocorrect and entity chunking.  Exact because the trained
+# weights live on the 1/1024 grid: BIGINT z_num here equals the float32
+# logits *1024 bit-for-bit (see the trained.py module docstring).
+# ---------------------------------------------------------------------------
+
+
+def _trained_tags_cte() -> str:
+    """CTE chain (tkeys .. ttags) computing the trained model's word
+    tags; requires WORDS_CTE's ``pw`` in scope.  Weights/bias VALUES
+    are generated from the SAME packaged checkpoint the Spark workers
+    load, and the md5 byte-slicing mirrors trained.feature_dims."""
+    import numpy as np
+
+    from kgkit.ner_core.trained import EMB_DIM, N_HASH, Q, default_trained_tagger
+
+    m = default_trained_tagger()
+    Wq = np.rint(m.W.astype(np.float64) * Q).astype(int)
+    bq = np.rint(m.b.astype(np.float64) * Q).astype(int)
+    wrows = ", ".join(
+        f"({i}, {c}, {int(Wq[i, c])})"
+        for i in range(Wq.shape[0])
+        for c in range(Wq.shape[1])
+        if Wq[i, c] != 0
+    )
+    brows = ", ".join(
+        f"({c}, '{cls}', {int(bq[c])})"
+        for c, cls in enumerate(m.annotation_classes)
+    )
+    hrows = ", ".join(f"({i})" for i in range(N_HASH))
+    # a word outside the printable-ASCII WordPiece vocabulary is the
+    # [UNK] token to the model -> key '[unk]' (trained.normalize_words);
+    # '' at document boundaries == the slice-boundary '' of forward()
+    unk = (
+        "CASE WHEN {c} IS NULL THEN '' "
+        "WHEN regexp_matches({c}, '^[!-~]+$') THEN lower({c}) "
+        "ELSE '[unk]' END"
+    )
+    return f"""
+tkeys AS (
+    SELECT doc_id, pos,
+           {unk.format(c='word')} AS wk,
+           {unk.format(c='prev_word')} AS pk,
+           {unk.format(c='next_word')} AS nk
+    FROM pw
+),
+tfeats AS (
+    SELECT doc_id, pos, 0 AS ch, wk || '|' || nk AS key FROM tkeys
+    UNION ALL
+    SELECT doc_id, pos, 1 AS ch, pk || '|' || wk AS key FROM tkeys
+    UNION ALL
+    SELECT doc_id, pos, 2 AS ch, wk AS key FROM tkeys
+),
+tcontrib AS (
+    SELECT doc_id, pos,
+           ch * {EMB_DIM}
+             + CAST(('0x' || substr(md5(key), 2 * hh.i + 1, 2))::BIGINT
+                    % {EMB_DIM} AS INT) AS idx,
+           CASE WHEN substr(md5(key), 9 + hh.i, 1) IN {_ODD}
+                THEN 1 ELSE -1 END AS sgn
+    FROM tfeats CROSS JOIN (VALUES {hrows}) hh(i)
+),
+twsum AS (
+    SELECT c.doc_id, c.pos, w.cls_id, SUM(c.sgn * w.wq) AS s
+    FROM tcontrib c
+    JOIN (SELECT * FROM (VALUES {wrows}) t(idx, cls_id, wq)) w
+      ON w.idx = c.idx
+    GROUP BY c.doc_id, c.pos, w.cls_id
+),
+tz AS (
+    SELECT p.doc_id, p.pos, b.cls_id, b.cls,
+           b.bias_q + COALESCE(s.s, 0) AS z_num
+    FROM (SELECT doc_id, pos FROM pw) p
+    CROSS JOIN (SELECT * FROM (VALUES {brows}) t(cls_id, cls, bias_q)) b
+    LEFT JOIN twsum s
+      ON s.doc_id = p.doc_id AND s.pos = p.pos AND s.cls_id = b.cls_id
+),
+ttags AS (
+    SELECT doc_id, pos, cls AS tag FROM (
+        SELECT doc_id, pos, cls,
+               row_number() OVER (PARTITION BY doc_id, pos
+                                  ORDER BY z_num DESC, cls_id ASC) AS rnk
+        FROM tz
+    ) WHERE rnk = 1
+)"""
+
+
+# W5 BIO autocorrect as a lag rule: I-X becomes B-X unless the previous
+# ORIGINAL tag is entity-kind of the same class — equivalent to the
+# reference's sequential already-repaired-previous rule because repair
+# preserves class and maps kinds within {B, I} (schemes.fix_bio_tag)
+TRAINED_FIX_CTE = """
+tfix AS (
+    SELECT doc_id, pos,
+           CASE WHEN tag LIKE 'I-%'
+                 AND (ptag IS NULL OR ptag = 'O'
+                      OR regexp_extract(ptag, '([^-]+)$', 1)
+                         != regexp_extract(tag, '([^-]+)$', 1))
+                THEN 'B-' || regexp_extract(tag, '([^-]+)$', 1)
+                ELSE tag END AS tag
+    FROM (
+        SELECT doc_id, pos, tag,
+               lag(tag) OVER (PARTITION BY doc_id ORDER BY pos) AS ptag
+        FROM ttags
+    )
+)"""
+
+
+def _trained_mentions_sql() -> str:
+    """Full kg_mentions_nn oracle: trained tags -> autocorrect ->
+    IOB2 chunks -> entity records re-sliced from the document text
+    (surface byte-identity by construction, like spans._entity_record)."""
+    return f"""
+        WITH {WORDS_CTE}, {_trained_tags_cte()}, {TRAINED_FIX_CTE},
+        tchunks AS ({_chunks_sql('tfix')}),
+        nn_mentions AS (
+            SELECT 'doc://' || m.doc_id AS url,
+                   CAST(row_number() OVER (PARTITION BY m.doc_id
+                                           ORDER BY s.char_start) - 1
+                        AS BIGINT) AS mention_id,
+                   CAST(s.char_start AS BIGINT) AS char_start,
+                   CAST(e.char_start + len(e.word) AS BIGINT) AS char_end,
+                   substr(d.text, CAST(s.char_start + 1 AS INT),
+                          CAST(e.char_start + len(e.word) - s.char_start
+                               AS INT)) AS surface,
+                   m.cls AS tag
+            FROM tchunks m
+            JOIN pw s ON s.doc_id = m.doc_id AND s.pos = m.start_pos
+            JOIN pw e ON e.doc_id = m.doc_id AND e.pos = m.end_pos
+            JOIN ner_docs d ON d.doc_id = m.doc_id
+        )
+        SELECT url, mention_id, char_start, char_end, surface, tag
+        FROM nn_mentions
+    """
+
+
+def _trained_proba_sql() -> str:
+    """predict_proba_nn oracle: softmax over the trained logits
+    (z = z_num / 1024 exactly; numerically-stable exp like
+    NumpyTagger.decode_proba), rounded to 6 on both engines."""
+    return f"""
+        WITH {WORDS_CTE}, {_trained_tags_cte()},
+        zz AS (
+            SELECT 'doc://' || doc_id AS url,
+                   CAST(pos - 1 AS BIGINT) AS pos, cls,
+                   z_num / 1024.0 AS z
+            FROM tz
+        ),
+        mm AS (SELECT *, max(z) OVER (PARTITION BY url, pos) AS zmax FROM zz),
+        ee AS (SELECT url, pos, cls, exp(z - zmax) AS ez FROM mm),
+        ff AS (SELECT *, sum(ez) OVER (PARTITION BY url, pos) AS den FROM ee)
+        SELECT url, pos, cls, round(ez / den, 6) AS proba FROM ff
+    """
+
+
 # linking: broadcast-dictionary join + cosine rerank (double precision)
 LINKED_CTE = MENTIONS_CTE + f""",
 alias_dict AS (SELECT * FROM {alias_values_sql()}),
@@ -410,41 +568,15 @@ ORACLES = {
         WITH {MENTIONS_CTE}
         SELECT url, mention_id, char_start, char_end, surface, tag FROM mentions
     """,
-    # the numpy tensor model is an exact distillation of the gazetteer
-    # (kgkit/ner_core/nn_tagger.py): same mentions, same oracle
-    "kg_mentions_nn": f"""
-        WITH {MENTIONS_CTE}
-        SELECT url, mention_id, char_start, char_end, surface, tag FROM mentions
-    """,
-    # M3: softmax over the NumpyTagger's (finite) logit patterns — O
-    # bias 2, bigram-start 8, bigram-continuation 6, single-word 4 per
-    # matching class, zero elsewhere; proba = exp(z - zmax) / sum
-    "predict_proba_nn": f"""
-        WITH {WORDS_CTE}, {MARKED_CTE},
-        z AS (
-            SELECT 'doc://' || doc_id AS url,
-                   CAST(pos - 1 AS BIGINT) AS pos, c.cls,
-                   (CASE WHEN c.cls = 'O' THEN 2.0 ELSE 0.0 END
-                    + CASE WHEN bi_tag IS NOT NULL AND c.cls = 'B-' || bi_tag
-                           THEN 8.0 ELSE 0.0 END
-                    + CASE WHEN bi_cont AND c.cls = 'I-OP'
-                           THEN 6.0 ELSE 0.0 END
-                    + CASE WHEN single_tag IS NOT NULL
-                                AND c.cls = 'B-' || single_tag
-                           THEN 4.0 ELSE 0.0 END) AS z
-            FROM marked
-            CROSS JOIN (VALUES ('O'), ('B-DIM'), ('B-OP'), ('B-TECH'),
-                               ('I-DIM'), ('I-OP'), ('I-TECH')) c(cls)
-        ),
-        m AS (
-            SELECT *, max(z) OVER (PARTITION BY url, pos) AS zmax FROM z
-        ),
-        e AS (SELECT url, pos, cls, exp(z - zmax) AS ez FROM m),
-        f AS (
-            SELECT *, sum(ez) OVER (PARTITION BY url, pos) AS den FROM e
-        )
-        SELECT url, pos, cls, round(ez / den, 6) AS proba FROM f
-    """,
+    # M1/M2 + full W1-W8 lifecycle on the TRAINED head: the oracle
+    # recomputes embedding-lookup -> matmul -> argmax -> autocorrect ->
+    # entity merge relationally from the same packaged checkpoint —
+    # the model genuinely disagrees with the gazetteer on ~17% of
+    # pages, so this row checks the model path, not the rule path
+    "kg_mentions_nn": _trained_mentions_sql(),
+    # M3: softmax over the TRAINED logits (z_num/1024 exact on both
+    # engines; exp/round(6) absorbs last-ulp libm differences)
+    "predict_proba_nn": _trained_proba_sql(),
     "kg_linked": f"""
         WITH {LINKED_CTE}
         SELECT url, mention_id, char_start, char_end, surface, tag,

@@ -49,13 +49,15 @@ def _mentions_q(spark, sf_dir):
 
 
 def _mentions_nn_q(spark, sf_dir):
-    """Full mention pipeline with the NUMPY tensor model (M1-M3,
-    kgkit/ner_core/nn_tagger.py): embedding lookup -> batched matmul ->
-    logits -> argmax decode.  Must equal the gazetteer pipeline exactly
-    (the model is its lossless distillation), so it shares the
-    kg_mentions oracle — a full-corpus correctness gate on the real
-    tensor-math inference path."""
-    m = detect_mentions(_pages(spark, sf_dir), model="numpy")
+    """Full mention pipeline with the TRAINED numpy head (M1-M3,
+    kgkit/ner_core/trained.py): hashed-feature embedding lookup ->
+    batched matmul -> logits -> argmax decode -> the whole W1-W8
+    lifecycle.  The head was fit by seeded SGD (tools/train_tagger.py)
+    and genuinely DISAGREES with the gazetteer on some pages
+    (~99.3% token parity at sf0.01) — its oracle recomputes the
+    forward pass itself in SQL, so this row gates the model path,
+    not a rule-path tautology."""
+    m = detect_mentions(_pages(spark, sf_dir), model="trained")
     return m.select(
         "url",
         F.col("mention_id").cast("long").alias("mention_id"),
@@ -66,12 +68,13 @@ def _mentions_nn_q(spark, sf_dir):
 
 
 def _predict_proba_nn_q(spark, sf_dir):
-    """M3 softmax probabilities from the numpy model's logits, exploded
-    to (url, pos, cls, proba); the DuckDB oracle recomputes the same
-    finite logit patterns and softmax with exp() in SQL."""
+    """M3 softmax probabilities from the TRAINED head's logits,
+    exploded to (url, pos, cls, proba); the DuckDB oracle recomputes
+    the logits from the checkpoint weights and the softmax with exp()
+    in SQL."""
     from kgkit.operators.mentions import word_probas
 
-    return word_probas(_pages(spark, sf_dir), model="numpy").select(
+    return word_probas(_pages(spark, sf_dir), model="trained").select(
         "url",
         F.col("pos").cast("long").alias("pos"),
         "cls",
