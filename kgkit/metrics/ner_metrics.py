@@ -477,6 +477,97 @@ def metrics_fanout(
     return {"token": token, "entity": entity}
 
 
+def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
+    """A9 as ONE distributed plan: (level, subset, precision_micro,
+    recall_micro, f1_micro) rows for token subsets all / fil / <label>
+    and entity subsets fil / <plain class> — the DataFrame twin of
+    ``metrics_fanout`` (which assembles the reference's nested-dict
+    shape from collected statistics).  Nothing is collected here: the
+    subset fan-out operates on the post-aggregation confusion / chunk
+    frames (≤ |labels| rows), so it is plan-side fan-out of tiny data,
+    not extra passes over the token stream.  Failure-code semantics
+    (−1 sentinels) follow token_metrics_from_confusion /
+    entity_metrics_from_counts exactly."""
+
+    def _prf(tp, np_, nt, und):
+        p = F.when(np_ > 0, tp / np_).otherwise(und)
+        r = F.when(nt > 0, tp / nt).otherwise(und)
+        f = (
+            F.when((p == FAILURE) | (r == FAILURE), F.lit(FAILURE))
+            .when(p + r > 0, F.lit(2) * p * r / (p + r))
+            .otherwise(F.lit(0.0))
+        )
+        return [
+            F.round(p, 6).alias("precision_micro"),
+            F.round(r, 6).alias("recall_micro"),
+            F.round(f, 6).alias("f1_micro"),
+        ]
+
+    conf = token_confusion(df)
+    n_pred = conf.groupBy(F.col("pred").alias("l")).agg(F.sum("n").alias("n_pred"))
+    n_true = conf.groupBy(F.col("true").alias("l")).agg(F.sum("n").alias("n_true"))
+    tp = (
+        conf.filter(F.col("true") == F.col("pred"))
+        .groupBy(F.col("true").alias("l"))
+        .agg(F.sum("n").alias("tp"))
+    )
+    ls = (
+        n_pred.join(n_true, "l", "full")
+        .join(tp, "l", "left")
+        .na.fill({"n_pred": 0, "n_true": 0, "tp": 0})
+    )
+    fil = ls.filter(F.col("l") != "O")
+
+    # subset 'all': classes=None -> zero_division 0.0 unconditionally;
+    # subset 'fil': an explicit class list -> −1 only if it has ONE label
+    tok_all = ls.agg(
+        F.sum("tp").alias("tp"), F.sum("n_pred").alias("np_"),
+        F.sum("n_true").alias("nt"),
+    ).select(
+        F.lit("token").alias("level"), F.lit("all").alias("subset"),
+        *_prf(F.col("tp"), F.col("np_"), F.col("nt"), F.lit(0.0)),
+    )
+    tok_fil = ls.filter(F.col("l") != "O").agg(
+        F.sum("tp").alias("tp"), F.sum("n_pred").alias("np_"),
+        F.sum("n_true").alias("nt"), F.count("*").alias("nl"),
+    ).select(
+        F.lit("token").alias("level"), F.lit("fil").alias("subset"),
+        *_prf(F.col("tp"), F.col("np_"), F.col("nt"),
+              F.when(F.col("nl") == 1, F.lit(FAILURE)).otherwise(F.lit(0.0))),
+    )
+    tok_cls = fil.select(
+        F.lit("token").alias("level"), F.col("l").alias("subset"),
+        *_prf(F.col("tp"), F.col("n_pred"), F.col("n_true"), F.lit(FAILURE)),
+    )
+
+    counts = entity_class_counts(df, scheme)
+    ent_fil = counts.agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+    ).select(
+        F.lit("entity").alias("level"), F.lit("fil").alias("subset"),
+        *_prf(F.col("tp"), F.col("tp") + F.col("fp"),
+              F.col("tp") + F.col("fn"), F.lit(FAILURE)),
+    )
+    # per-class entity rows exist for every plain class the TOKEN labels
+    # mention, with −1 rows for classes absent from the chunk counts
+    # (the reference's seqeval IndexError path)
+    plain = fil.select(
+        F.regexp_replace("l", "^[BILU]-", "").alias("subset")
+    ).distinct()
+    ent_cls = plain.join(
+        counts.withColumnRenamed("cls", "subset"), "subset", "left"
+    ).select(
+        F.lit("entity").alias("level"), "subset",
+        *_prf(F.col("tp"),
+              F.when(F.col("tp").isNotNull(), F.col("tp") + F.col("fp")),
+              F.when(F.col("tp").isNotNull(), F.col("tp") + F.col("fn")),
+              F.lit(FAILURE)),
+    )
+    return tok_all.unionByName(tok_fil).unionByName(tok_cls) \
+        .unionByName(ent_fil).unionByName(ent_cls)
+
+
 def classification_report(
     df: DataFrame, scheme: str, classes: Optional[List[str]] = None
 ) -> str:

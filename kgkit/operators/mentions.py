@@ -101,21 +101,10 @@ def detect_mentions(pages: DataFrame, model: str = "gazetteer") -> DataFrame:
     return narrow.mapInPandas(_detect_batches_for(model), schema=MENTIONS_SCHEMA)
 
 
-def word_probas(pages: DataFrame, model: str = "numpy") -> DataFrame:
-    """Word-level probability distributions (M3, Model.predict_proba,
-    api/model.py:369-400) exploded to (url, pos, cls, proba) rows — one
-    row per word and annotation class.  With model='numpy' the
-    probabilities are a REAL softmax over the NumpyTagger's logits
-    tensor; the raw doubles are emitted and rounding happens natively
-    so Spark and the DuckDB oracle share one rounding rule.
-
-    The class order comes from the SAME model spec the workers resolve
-    (a 'ckpt:<path>' model therefore needs its checkpoint readable on
-    the driver too — true for local mode and for --files shipping,
-    which also places the file in the driver's working dir), and the
-    UDF re-validates it: a worker whose resolved model disagrees on
-    the label universe raises instead of silently zeroing classes."""
-    classes = _resolve_tagger(model).annotation_classes  # fixed order, O first
+def _word_proba_rows(pages: DataFrame, model: str, classes) -> DataFrame:
+    """Shared M3 core: one python row per WORD with the distribution as
+    array<double> in ``classes`` order (the class fan-out/packing is
+    JVM-side in the public shapes below)."""
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from kgkit.ner_core.pipeline import predict_proba
@@ -145,12 +134,48 @@ def word_probas(pages: DataFrame, model: str = "numpy") -> DataFrame:
                     out["probas"].append([dist.get(c, 0.0) for c in classes])
             yield pd.DataFrame(out)
 
+    return pages.select("url", "text").mapInPandas(
+        _batches, schema="url string, pos int, probas array<double>"
+    )
+
+
+def word_probas_map(pages: DataFrame, model: str = "trained") -> DataFrame:
+    """M3 in the PRODUCTION shape: (url, pos, probas MAP<string,double>)
+    — one row per word carrying the whole distribution.  The exploded
+    (url, pos, cls, proba) form (``word_probas``) multiplies the row
+    count by |classes| and exists for the DuckDB oracle's value-hash
+    comparison; a 100-TB pipeline ships the map column instead (same
+    python work, |classes|× fewer JVM rows; map packing is one
+    JVM-side map_from_arrays over literals)."""
+    classes = _resolve_tagger(model).annotation_classes
+    cls_names = F.array(*[F.lit(c) for c in classes])
+    return _word_proba_rows(pages, model, classes).select(
+        "url", "pos",
+        F.map_from_arrays(
+            cls_names, F.transform("probas", lambda p: F.round(p, 6))
+        ).alias("probas"),
+    )
+
+
+def word_probas(pages: DataFrame, model: str = "numpy") -> DataFrame:
+    """Word-level probability distributions (M3, Model.predict_proba,
+    api/model.py:369-400) exploded to (url, pos, cls, proba) rows — one
+    row per word and annotation class.  With model='numpy' the
+    probabilities are a REAL softmax over the NumpyTagger's logits
+    tensor; the raw doubles are emitted and rounding happens natively
+    so Spark and the DuckDB oracle share one rounding rule.
+
+    The class order comes from the SAME model spec the workers resolve
+    (a 'ckpt:<path>' model therefore needs its checkpoint readable on
+    the driver too — true for local mode and for --files shipping,
+    which also places the file in the driver's working dir), and the
+    UDF re-validates it: a worker whose resolved model disagrees on
+    the label universe raises instead of silently zeroing classes."""
+    classes = _resolve_tagger(model).annotation_classes  # fixed order, O first
     # one python row per WORD; the 1:len(classes) fan-out to class rows
     # happens JVM-side (posexplode + literal name array), not in python
     cls_names = F.array(*[F.lit(c) for c in classes])
-    raw = pages.select("url", "text").mapInPandas(
-        _batches, schema="url string, pos int, probas array<double>"
-    )
+    raw = _word_proba_rows(pages, model, classes)
     return raw.select(
         "url", "pos", F.posexplode("probas").alias("cls_idx", "proba")
     ).select(

@@ -111,6 +111,26 @@ marked AS (
 )
 """
 
+# the deterministic (true, pred) eval token stream of
+# kgkit.queries._ner_eval_stream: true = gazetteer word tags, pred =
+# true with the (pos*31 + doc_id) % 7 arithmetic flip to 'O'
+EVAL_ST_CTE = """
+stream AS (
+    SELECT doc_id, pos - 1 AS pos,
+           CASE WHEN bi_tag IS NOT NULL THEN 'B-' || bi_tag
+                WHEN bi_cont THEN 'I-OP'
+                WHEN single_tag IS NOT NULL THEN 'B-' || single_tag
+                ELSE 'O' END AS true_tag
+    FROM marked
+),
+st AS (
+    SELECT doc_id, pos, true_tag,
+           CASE WHEN true_tag != 'O' AND (pos * 31 + doc_id) % 7 = 0
+                THEN 'O' ELSE true_tag END AS pred_tag
+    FROM stream
+)
+"""
+
 MENTIONS_CTE = (
     WORDS_CTE + "," + MARKED_CTE + """,
 raw_mentions AS (
@@ -666,6 +686,131 @@ ORACLES = {
                CAST(sum(CASE WHEN in_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
                CAST(sum(CASE WHEN in_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred
         FROM j GROUP BY cls
+    """,
+    # A6: the BIO repair rule as a lag window over the eval stream
+    "asr_corrected_bio": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE}, {EVAL_ST_CTE},
+        a AS (
+            SELECT doc_id, pos, pred_tag,
+                   lag(pred_tag) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
+            FROM st
+        ),
+        r AS (
+            SELECT doc_id, pos, pred_tag,
+                   CASE WHEN pred_tag LIKE 'I-%'
+                         AND (pv IS NULL OR pv NOT IN
+                              ('B-' || regexp_extract(pred_tag, '([^-]+)$', 1),
+                               'I-' || regexp_extract(pred_tag, '([^-]+)$', 1)))
+                        THEN 'B-' || regexp_extract(pred_tag, '([^-]+)$', 1)
+                        ELSE pred_tag END AS pred_asr
+            FROM a
+        )
+        SELECT 'doc://' || doc_id AS seq_id, CAST(pos AS BIGINT) AS pos,
+               pred_tag AS pred, pred_asr,
+               CAST(CASE WHEN pred_asr != pred_tag THEN 1 ELSE 0 END AS INT)
+                   AS asr_changed
+        FROM r
+    """,
+    "asr_abidance": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE}, {EVAL_ST_CTE},
+        a AS (
+            SELECT pred_tag,
+                   lag(pred_tag) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
+            FROM st
+        ),
+        c AS (
+            SELECT CASE WHEN pred_tag LIKE 'I-%'
+                         AND (pv IS NULL OR pv NOT IN
+                              ('B-' || regexp_extract(pred_tag, '([^-]+)$', 1),
+                               'I-' || regexp_extract(pred_tag, '([^-]+)$', 1)))
+                        THEN 1 ELSE 0 END AS chg
+            FROM a
+        )
+        SELECT round(1 - avg(chg), 6) AS abidance,
+               CAST(sum(chg) AS BIGINT) AS n_repaired,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM c
+    """,
+    # A9: per-subset micro P/R/F1 at both levels, reference failure
+    # codes (-1) included — the oracle twin of metrics_fanout_df
+    "eval_fanout": f"""
+        WITH {WORDS_CTE}, {MARKED_CTE}, {EVAL_ST_CTE},
+        conf AS (
+            SELECT true_tag AS t, pred_tag AS p, count(*) AS n
+            FROM st GROUP BY 1, 2
+        ),
+        labs AS (
+            SELECT DISTINCT l FROM (
+                SELECT t AS l FROM conf UNION SELECT p AS l FROM conf
+            )
+        ),
+        ls AS (
+            SELECT labs.l AS l,
+                   COALESCE(sum(CASE WHEN c.t = labs.l AND c.p = labs.l
+                                     THEN c.n END), 0) AS tp,
+                   COALESCE(sum(CASE WHEN c.p = labs.l THEN c.n END), 0)
+                       AS n_pred,
+                   COALESCE(sum(CASE WHEN c.t = labs.l THEN c.n END), 0)
+                       AS n_true
+            FROM labs LEFT JOIN conf c ON c.t = labs.l OR c.p = labs.l
+            GROUP BY labs.l
+        ),
+        tmarks AS (SELECT doc_id, pos, true_tag AS tag FROM st),
+        pmarks AS (SELECT doc_id, pos, pred_tag AS tag FROM st),
+        tchunks AS ({_chunks_sql('tmarks')}),
+        pchunks AS ({_chunks_sql('pmarks')}),
+        j AS (
+            SELECT COALESCE(t.cls, p.cls) AS cls,
+                   t.cls IS NOT NULL AS in_true,
+                   p.cls IS NOT NULL AS in_pred
+            FROM tchunks t
+            FULL OUTER JOIN pchunks p
+              ON t.doc_id = p.doc_id AND t.cls = p.cls
+             AND t.start_pos = p.start_pos AND t.end_pos = p.end_pos
+        ),
+        ecnt AS (
+            SELECT cls,
+                   sum(CASE WHEN in_true AND in_pred THEN 1 ELSE 0 END) AS tp,
+                   sum(CASE WHEN NOT in_true AND in_pred THEN 1 ELSE 0 END) AS fp,
+                   sum(CASE WHEN in_true AND NOT in_pred THEN 1 ELSE 0 END) AS fn
+            FROM j GROUP BY cls
+        ),
+        allb AS (
+            SELECT 'token' AS level, 'all' AS subset, sum(tp) AS tp,
+                   sum(n_pred) AS np, sum(n_true) AS nt, 0.0 AS und
+            FROM ls
+            UNION ALL
+            SELECT 'token', 'fil', sum(tp), sum(n_pred), sum(n_true),
+                   CASE WHEN count(*) = 1 THEN -1.0 ELSE 0.0 END
+            FROM ls WHERE l != 'O'
+            UNION ALL
+            SELECT 'token', l, tp, n_pred, n_true, -1.0
+            FROM ls WHERE l != 'O'
+            UNION ALL
+            SELECT 'entity', 'fil', sum(tp), sum(tp) + sum(fp),
+                   sum(tp) + sum(fn), -1.0
+            FROM ecnt
+            UNION ALL
+            SELECT 'entity', pl.subset, e.tp,
+                   CASE WHEN e.tp IS NOT NULL THEN e.tp + e.fp END,
+                   CASE WHEN e.tp IS NOT NULL THEN e.tp + e.fn END, -1.0
+            FROM (SELECT DISTINCT regexp_replace(l, '^[BILU]-', '') AS subset
+                  FROM ls WHERE l != 'O') pl
+            LEFT JOIN ecnt e ON e.cls = pl.subset
+        ),
+        pr AS (
+            SELECT level, subset,
+                   CASE WHEN np > 0 THEN tp / np ELSE und END AS p,
+                   CASE WHEN nt > 0 THEN tp / nt ELSE und END AS r
+            FROM allb
+        )
+        SELECT level, subset,
+               round(p, 6) AS precision_micro,
+               round(r, 6) AS recall_micro,
+               round(CASE WHEN p = -1.0 OR r = -1.0 THEN -1.0
+                          WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                          ELSE 0.0 END, 6) AS f1_micro
+        FROM pr
     """,
     "label_set": f"""
         WITH {WORDS_CTE}, {MARKED_CTE},

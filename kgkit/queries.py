@@ -82,6 +82,23 @@ def _predict_proba_nn_q(spark, sf_dir):
     )
 
 
+def _predict_proba_nn_map_q(spark, sf_dir):
+    """M3 in the PRODUCTION shape: one row per word, the whole
+    distribution as MAP<string,double> (kgkit.operators.mentions
+    word_probas_map).  Rows-only correctness check (no oracle_sql
+    entry): the driver's value-hash compare cannot canonicalize a map
+    column across engines, so the VALUE parity of the distributions is
+    gated through the exploded twin ``predict_proba_nn`` (full hash
+    oracle) plus tests/test_pipeline.py's map==exploded equivalence
+    test, and this row checks shape/cardinality (|words| rows, not
+    |words|x|classes|)."""
+    from kgkit.operators.mentions import word_probas_map
+
+    return word_probas_map(_pages(spark, sf_dir), model="trained").select(
+        "url", F.col("pos").cast("long").alias("pos"), "probas",
+    )
+
+
 def _linked_q(spark, sf_dir):
     linked = link_mentions(
         detect_mentions(_pages(spark, sf_dir)), _embeddings(spark, sf_dir)
@@ -170,6 +187,44 @@ def _ner_entity_prf_q(spark, sf_dir):
         F.col("n_true").cast("long").alias("n_true"),
         F.col("n_pred").cast("long").alias("n_pred"),
     )
+
+
+def _asr_corrected_q(spark, sf_dir):
+    """A6 annotation-scheme repair over the full prediction stream:
+    the window-expression twin of the reference's fix_scheme loop
+    (tags.py:224-303) — I-X with a bad predecessor becomes B-X.  The
+    eval stream's O-flips orphan real I- tags, so the repair fires on
+    genuine violations at corpus scale."""
+    from kgkit.metrics.ner_metrics import asr_corrected
+
+    return asr_corrected(_ner_eval_stream(spark, sf_dir), "bio").select(
+        "seq_id",
+        F.col("pos").cast("long").alias("pos"),
+        "pred", "pred_asr",
+        F.col("asr_changed").cast("int").alias("asr_changed"),
+    )
+
+
+def _asr_abidance_q(spark, sf_dir):
+    """A6 abidance = fraction of tags that needed no repair
+    (tags.py:224-266), as one corpus-level aggregate row."""
+    from kgkit.metrics.ner_metrics import asr_corrected
+
+    return asr_corrected(_ner_eval_stream(spark, sf_dir), "bio").agg(
+        F.round(1 - F.avg("asr_changed"), 6).alias("abidance"),
+        F.sum("asr_changed").cast("long").alias("n_repaired"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+
+
+def _eval_fanout_q(spark, sf_dir):
+    """A9 metric fan-out as a distributed DataFrame: per-subset micro
+    P/R/F1 rows at both levels (kgkit.metrics.ner_metrics
+    metrics_fanout_df; equality with the reference-shaped dict API is
+    pinned by tests/test_ner_metrics.py)."""
+    from kgkit.metrics.ner_metrics import metrics_fanout_df
+
+    return metrics_fanout_df(_ner_eval_stream(spark, sf_dir), "bio")
 
 
 def _dataset_stats_q(spark, sf_dir):
@@ -742,6 +797,7 @@ QUERIES = {
     "kg_mentions": _mentions_q,
     "kg_mentions_nn": _mentions_nn_q,
     "predict_proba_nn": _predict_proba_nn_q,
+    "predict_proba_nn_map": _predict_proba_nn_map_q,
     "kg_linked": _linked_q,
     "kg_canonical": _canonical_q,
     "kg_triples": _triples_q,
@@ -750,6 +806,9 @@ QUERIES = {
     "label_set": _label_set_q,
     "ner_token_confusion": _ner_token_confusion_q,
     "ner_entity_prf": _ner_entity_prf_q,
+    "asr_corrected_bio": _asr_corrected_q,
+    "asr_abidance": _asr_abidance_q,
+    "eval_fanout": _eval_fanout_q,
     "dataset_stats": _dataset_stats_q,
     "split_phases": _split_phases_q,
     "lang_id": _lang_id_q,

@@ -281,3 +281,44 @@ class TestAverageRuns:
         assert average_runs([0.9]) == (0.9, None)
         mean, dmean = average_runs([1.0, 2.0])
         assert mean == 1.5 and dmean == pytest.approx(0.5 / 2 ** 0.5)
+
+
+class TestMetricsFanoutDf:
+    def test_matches_dict_api_micro_values(self, spark):
+        """metrics_fanout_df (distributed, oracle-backed) must agree
+        with metrics_fanout (the reference-shaped dict API) on every
+        micro P/R/F1 it emits, including the -1 failure codes."""
+        import pytest as _pt
+
+        from kgkit.metrics.ner_metrics import metrics_fanout, metrics_fanout_df
+
+        df = spark.createDataFrame(
+            [
+                # orphan I-OP (repairable), a wrong class, a miss, and a
+                # class (DIM) that appears in pred only
+                ("d1", 0, "B-TECH", "B-TECH"),
+                ("d1", 1, "B-OP", "O"),
+                ("d1", 2, "I-OP", "I-OP"),
+                ("d1", 3, "O", "B-DIM"),
+                ("d2", 0, "B-OP", "B-OP"),
+                ("d2", 1, "I-OP", "I-OP"),
+                ("d2", 2, "B-TECH", "B-OP"),
+            ],
+            "seq_id string, pos long, true string, pred string",
+        )
+        want = metrics_fanout(df, "bio")
+        got = {
+            (r["level"], r["subset"]): r
+            for r in metrics_fanout_df(df, "bio").collect()
+        }
+        for level in ("token", "entity"):
+            for subset, m in want[level].items():
+                row = got[(level, subset)]
+                for k in ("precision_micro", "recall_micro", "f1_micro"):
+                    assert row[k] == _pt.approx(m[k], abs=1e-6), (
+                        level, subset, k, row[k], m[k],
+                    )
+        # every df row has a dict twin (no extra subsets)
+        assert set(got) == {
+            (lv, s) for lv in ("token", "entity") for s in want[lv]
+        }

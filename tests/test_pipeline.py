@@ -141,3 +141,36 @@ class TestPredictProba:
         assert all(
             isinstance(v, str) for r in probas for v in r.values()
         )
+
+
+class TestWordProbasMap:
+    def test_map_equals_exploded(self, spark):
+        """The MAP<string,double> production shape must carry exactly
+        the distributions of the exploded oracle shape (same model,
+        same rounding)."""
+        from kgkit.operators.mentions import word_probas, word_probas_map
+        from pyspark.sql import functions as F
+
+        pages = spark.createDataFrame(
+            [("doc://1", "spark hash join stream"),
+             ("doc://2", "the customer sort merge table scan")],
+            "url string, text string",
+        )
+        exploded = {
+            (r["url"], r["pos"], r["cls"]): round(r["proba"], 6)
+            for r in word_probas(pages, model="trained")
+            .select("url", "pos", "cls", F.round("proba", 6).alias("proba"))
+            .collect()
+        }
+        mapped = word_probas_map(pages, model="trained").collect()
+        got = {
+            (r["url"], r["pos"], c): v
+            for r in mapped
+            for c, v in r["probas"].items()
+        }
+        assert got == exploded
+        # one row per WORD, not per word x class
+        n_words = sum(len(t.split(" ")) for _, t in
+                      [("", "spark hash join stream"),
+                       ("", "the customer sort merge table scan")])
+        assert len(mapped) == n_words
