@@ -73,3 +73,41 @@ class TestKmeansIvf:
               kmeans_centroids(emb, n_cells=2, iters=2).collect()}
         assert c1 == c2  # integer sums: bit-identical across runs
         assert all(len(v) == 4 for v in c1.values())
+
+
+class TestHighDimPlanSize:
+    """dim-512 fixture: the LSH bucketer must not inline planes*dim
+    literals (similarity._dot_plane closed form)."""
+
+    def _emb(self, spark, dim, n=20):
+        rows = [
+            (i, [(((i * 13 + d * 7) % 19) - 9) / 10.0 for d in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_buckets_match_literal_formula(self, spark):
+        from kgkit.operators.similarity import bucketed, hyperplanes
+
+        dim = 512
+        df = self._emb(spark, dim)
+        got = {r["vec_id"]: r["bucket"] for r in bucketed(df, 4, dim).collect()}
+        hp = hyperplanes(4, dim)
+        for r in df.collect():
+            want = sum(
+                2 ** i
+                for i, plane in enumerate(hp)
+                if sum(x * p for x, p in zip(r["embedding"], plane)) > 0
+            )
+            assert got[r["vec_id"]] == want
+
+    def test_plan_size_flat_in_dim(self, spark):
+        from kgkit.operators.similarity import bucketed
+
+        p64 = bucketed(self._emb(spark, 64), 4, 64)._jdf.queryExecution() \
+            .executedPlan().toString()
+        p512 = bucketed(self._emb(spark, 512), 4, 512)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # round 2's literal arrays made the plan grow ~linearly with dim;
+        # the closed form changes only the two dim constants
+        assert len(p512) < len(p64) * 1.2, (len(p64), len(p512))
