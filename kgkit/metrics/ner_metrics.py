@@ -487,7 +487,13 @@ def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
     frames (≤ |labels| rows), so it is plan-side fan-out of tiny data,
     not extra passes over the token stream.  Failure-code semantics
     (−1 sentinels) follow token_metrics_from_confusion /
-    entity_metrics_from_counts exactly."""
+    entity_metrics_from_counts exactly.
+
+    The input stream is persisted: the union has five branches whose
+    lineages all reach the (word-level UDF) source, and the upstream
+    lambda plans defeat ReusedExchange canonicalization (CLAUDE.md) —
+    without the persist the UDF executes once per branch."""
+    from pyspark import StorageLevel
 
     def _prf(tp, np_, nt, und):
         p = F.when(np_ > 0, tp / np_).otherwise(und)
@@ -503,6 +509,7 @@ def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
             F.round(f, 6).alias("f1_micro"),
         ]
 
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     conf = token_confusion(df)
     n_pred = conf.groupBy(F.col("pred").alias("l")).agg(F.sum("n").alias("n_pred"))
     n_true = conf.groupBy(F.col("true").alias("l")).agg(F.sum("n").alias("n_true"))

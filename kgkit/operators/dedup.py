@@ -169,15 +169,25 @@ def _cap_buckets(band_table: DataFrame, max_bucket: int,
 
 
 def candidate_pairs(band_table: DataFrame, max_bucket: int = 1000,
-                    observation=None) -> DataFrame:
+                    observation=None, persist: bool = True) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
     The self-join is keyed on (band_idx, band_hash) — colliding docs
     only; buckets larger than ``max_bucket`` are dropped entirely (see
-    ``_cap_buckets``; ``observation`` surfaces the dropped mass)."""
-    a = _cap_buckets(band_table, max_bucket, observation).select(
+    ``_cap_buckets``; ``observation`` surfaces the dropped mass).
+
+    The capped band table is persisted before the self-join: its
+    lineage (minhash HOF lambdas + a window) does not canonicalize
+    into a ReusedExchange, so without the persist both join sides
+    recompute the signatures and the bucket-size window."""
+    capped = _cap_buckets(band_table, max_bucket, observation)
+    if persist:
+        from pyspark import StorageLevel
+
+        capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
+    a = capped.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
-    b = _cap_buckets(band_table, max_bucket).select(
+    b = capped.select(
         F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
     )
     return (
