@@ -1,0 +1,88 @@
+"""Streaming recrawl dedup (kgkit/streaming/dedup_stream.py):
+micro-batch semantics == the batch operator, and the grown index makes
+later batches dedup against earlier stream content."""
+
+from __future__ import annotations
+
+import pytest
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again"
+OTHER = "completely different words nothing shared here at all truly"
+THIRD = "a third unique body of text with its own tokens entirely new"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestProcessBatchSemantics:
+    def test_first_batch_equals_batch_operator(self, spark):
+        from kgkit.operators.dedup import incremental_near_dups
+        from kgkit.streaming.dedup_stream import IncrementalDedupStream
+
+        corpus = _df(spark, [(1, BASE), (2, OTHER)])
+        batch = _df(spark, [(101, BASE), (102, THIRD)])
+        stream_pairs = {
+            tuple(r)
+            for r in IncrementalDedupStream(corpus).process_batch(batch).collect()
+        }
+        batch_pairs = {
+            tuple(r) for r in incremental_near_dups(corpus, batch).collect()
+        }
+        assert stream_pairs == batch_pairs == {(1, 101, 1.0)}
+
+    def test_grown_index_catches_intra_stream_dups(self, spark):
+        from kgkit.streaming.dedup_stream import IncrementalDedupStream
+
+        corpus = _df(spark, [(1, BASE)])
+        stm = IncrementalDedupStream(corpus, grow_index=True)
+        b1 = _df(spark, [(101, THIRD)])
+        b2 = _df(spark, [(201, THIRD), (202, BASE)])
+
+        p1 = {tuple(r) for r in stm.process_batch(b1).collect()}
+        assert p1 == set()  # THIRD matches nothing in the corpus
+        p2 = {tuple(r) for r in stm.process_batch(b2).collect()}
+        # 201 duplicates batch-1's 101 (grown index); 202 duplicates
+        # the original corpus doc
+        assert p2 == {(101, 201, 1.0), (1, 202, 1.0)}
+
+    def test_static_index_misses_intra_stream_dups(self, spark):
+        """The contract boundary: without grow_index, batch-vs-batch
+        pairs are (deliberately) not reported."""
+        from kgkit.streaming.dedup_stream import IncrementalDedupStream
+
+        stm = IncrementalDedupStream(_df(spark, [(1, BASE)]), grow_index=False)
+        stm.process_batch(_df(spark, [(101, THIRD)])).collect()
+        p2 = {
+            tuple(r)
+            for r in stm.process_batch(_df(spark, [(201, THIRD)])).collect()
+        }
+        assert p2 == set()
+
+
+class TestStreamingEngine:
+    def test_foreachbatch_end_to_end(self, spark, tmp_path):
+        from kgkit.streaming.dedup_stream import IncrementalDedupStream
+
+        landing = str(tmp_path / "landing")
+        _df(spark, [(101, BASE), (102, THIRD)]).write.parquet(landing)
+
+        corpus = _df(spark, [(1, BASE), (2, OTHER)])
+        stm = IncrementalDedupStream(corpus)
+        got = []
+
+        def sink(pairs, batch_id):
+            got.extend(tuple(r) for r in pairs.collect())
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(landing)
+        )
+        q = stm.attach(
+            stream, sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+        assert set(got) == {(1, 101, 1.0)}
