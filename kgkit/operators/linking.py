@@ -73,19 +73,27 @@ def _float_array_lit(values) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
 
-def page_entity_scores(embeddings: DataFrame, amb_entity_nums) -> DataFrame:
+def _collect_amb_embeddings(embeddings: DataFrame, amb_entity_nums) -> dict:
+    """{entity_num: embedding} for the bounded ambiguous set — the one
+    driver-side fetch of the literal path (<= max_literal_amb rows)."""
+    return {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in embeddings.filter(
+            F.col("vec_id").isin([int(n) for n in amb_entity_nums])
+        ).collect()
+    }
+
+
+def page_entity_scores(embeddings: DataFrame, amb_entity_nums,
+                       ent_rows: dict = None) -> DataFrame:
     """(vec_id, escore: MAP<int,double>) — cosine of each page embedding
     against each ambiguous candidate entity's embedding.  One pass over
     the embeddings table; |amb_entity_nums| cosines per page.  Only used
     on the literal path, where |amb_entity_nums| is already known to be
     bounded (<= max_literal_amb), so the collect and the plan literals
     are bounded too."""
-    ent_rows = {
-        int(r["vec_id"]): list(r["embedding"])
-        for r in embeddings.filter(
-            F.col("vec_id").isin([int(n) for n in amb_entity_nums])
-        ).collect()
-    }
+    if ent_rows is None:
+        ent_rows = _collect_amb_embeddings(embeddings, amb_entity_nums)
     entries = [
         F.struct(
             F.lit(num).alias("k"),
@@ -139,10 +147,23 @@ def _scores_broadcastable(embeddings: DataFrame, max_rows: int) -> bool:
     return hit
 
 
+_LITERAL_PLAN_BUDGET = 64_000  # max |amb entities| x dim literals in a plan
+
+
 def _literal_rerank(cands: DataFrame, embeddings: DataFrame,
                     amb_nums, scores_broadcast_rows: int) -> DataFrame:
-    """Map-side rerank: per-page score map + array-sort winner."""
-    scores = page_entity_scores(embeddings, amb_nums).select(
+    """Map-side rerank: per-page score map + array-sort winner.
+
+    Falls back to the distributed join path when the entity-embedding
+    literals would bloat the plan (|amb| x dim components over
+    _LITERAL_PLAN_BUDGET — e.g. 64 entities x 4096-dim embeddings):
+    the amb-count gate bounds the entity COUNT but not the embedding
+    WIDTH, and the width is only known once the vectors are fetched —
+    no extra job, the fetch was happening anyway."""
+    ent_rows = _collect_amb_embeddings(embeddings, amb_nums)
+    if sum(len(v) for v in ent_rows.values()) > _LITERAL_PLAN_BUDGET:
+        return _join_rerank(cands, embeddings)
+    scores = page_entity_scores(embeddings, amb_nums, ent_rows).select(
         F.col("vec_id"), F.col("escore")
     )
     if _scores_broadcastable(embeddings, scores_broadcast_rows):

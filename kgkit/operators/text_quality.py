@@ -206,3 +206,65 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
         F.when(n > 0, F.round(F.length("text") / n.cast("double"), 6))
         .alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unicode canonicalization (NFC) — pre-dedup text normalization
+# ---------------------------------------------------------------------------
+
+# deterministic decomposed-fixture suffix: 'café århus' with the accents
+# as COMBINING characters (NFD: e+U+0301, a+U+030A) — planted into every
+# 7th doc so normalization actually fires on the synthetic (ASCII)
+# corpus.  The DuckDB oracle builds the identical literal from this
+# constant.
+NFD_SUFFIX = " cafe\u0301 a\u030Arhus"
+NFD_EVERY = 7
+NFD_ID_OFFSET = 300_000
+
+
+def plant_decomposed(docs: DataFrame) -> DataFrame:
+    """documents + a copy of every NFD_EVERY-th doc with a decomposed
+    (NFD) unicode suffix — the normalization fixture."""
+    copies = docs.filter(F.col("doc_id") % NFD_EVERY == 0).select(
+        (F.col("doc_id") + NFD_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NFD_SUFFIX)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+def unicode_nfc(docs: DataFrame) -> DataFrame:
+    """(doc_id, changed, n_before, n_after, nfc_md5) — NFC unicode
+    canonicalization of the text column.
+
+    Web text mixes precomposed and combining-character encodings of the
+    SAME string ('é' vs 'e'+U+0301); every downstream equality — exact
+    dedup hashes, shingles, alias matching — silently misses across the
+    two forms, so canonicalization runs BEFORE dedup in a real pipeline.
+    Spark has no built-in normalizer, so this is one Arrow mapInPandas
+    pass over unicodedata.normalize (mapInPandas, not a scalar UDF, so
+    the normalization runs exactly once per row however many output
+    columns derive from it); the DuckDB oracle uses native
+    nfc_normalize — both implement Unicode canonical composition, and
+    the md5 of the normalized text is the cross-engine witness."""
+    import pandas as pd
+
+    schema = ("doc_id long, changed boolean, n_before long, "
+              "n_after long, nfc_md5 string")
+
+    def batches(it):
+        import hashlib
+        import unicodedata
+
+        for pdf in it:
+            nf = pdf["text"].map(lambda t: unicodedata.normalize("NFC", t))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "changed": (pdf["text"] != nf),
+                "n_before": pdf["text"].str.len(),
+                "n_after": nf.str.len(),
+                "nfc_md5": nf.map(
+                    lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+                ),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema)

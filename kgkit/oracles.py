@@ -409,6 +409,30 @@ triples AS (
 
 _ODD = "('1','3','5','7','9','b','d','f')"
 
+
+def _nfc_oracle_sql() -> str:
+    from kgkit.operators.text_quality import (
+        NFD_EVERY,
+        NFD_ID_OFFSET,
+        NFD_SUFFIX,
+    )
+
+    return f"""
+        WITH nd AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {NFD_ID_OFFSET} AS doc_id,
+                   text || '{NFD_SUFFIX}' AS text
+            FROM documents WHERE doc_id % {NFD_EVERY} = 0
+        ),
+        n AS (SELECT doc_id, text, nfc_normalize(text) AS nf FROM nd)
+        SELECT doc_id, text != nf AS changed,
+               CAST(length(text) AS BIGINT) AS n_before,
+               CAST(length(nf) AS BIGINT) AS n_after,
+               md5(nf) AS nfc_md5
+        FROM n
+    """
+
 PLANTED_DOCS_CTE = """
 docs2 AS (
     SELECT doc_id, text FROM documents
@@ -997,6 +1021,11 @@ ORACLES = {
                    '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS scrubbed_hash
         FROM planted
     """,
+    # NFC canonicalization: DuckDB nfc_normalize vs the python
+    # unicodedata UDF — both implement Unicode canonical composition;
+    # the planted NFD suffix literal is generated from the SAME
+    # constant the Spark fixture uses (text_quality.NFD_SUFFIX)
+    "unicode_nfc": _nfc_oracle_sql(),
     "doc_fingerprint": """
         WITH shingles AS (
             SELECT doc_id,

@@ -341,6 +341,18 @@ def _pii_scrub_q(spark, sf_dir):
     return pii_scrub(plant_pii(_documents(spark, sf_dir)))
 
 
+def _unicode_nfc_q(spark, sf_dir):
+    """Unicode NFC canonicalization over a planted-NFD corpus (the
+    pre-dedup normalization step; kgkit.operators.text_quality
+    unicode_nfc — one mapInPandas pass, md5-of-normalized-text as the
+    cross-engine witness against DuckDB's native nfc_normalize)."""
+    from kgkit.operators.text_quality import plant_decomposed, unicode_nfc
+
+    return unicode_nfc(
+        plant_decomposed(_documents(spark, sf_dir).select("doc_id", "text"))
+    )
+
+
 def _doc_fingerprint_q(spark, sf_dir):
     """Winnowing-style fingerprint: min md5 over word 3-gram shingles —
     pure column expressions, zero shuffle."""
@@ -819,6 +831,7 @@ QUERIES = {
     "repetition_ngrams": _repetition_ngrams_q,
     "pii_scrub": _pii_scrub_q,
     "doc_fingerprint": _doc_fingerprint_q,
+    "unicode_nfc": _unicode_nfc_q,
     "dedup_exact": _dedup_exact_q,
     "dedup_minhash_lsh": _dedup_minhash_q,
     "dedup_incremental": _dedup_incremental_q,

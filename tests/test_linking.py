@@ -101,3 +101,33 @@ class TestScoresBroadcastGate:
         instead of a driver OOM (VERDICT r1 'What's wrong' #2)."""
         plan = self._analyzed(spark, scores_broadcast_rows=0)
         assert plan.count("strategy=broadcast") == 1  # dict only
+
+
+class TestLiteralPlanBudget:
+    def test_wide_embeddings_fall_back_to_join_path(self, spark):
+        """The literal path's plan literals scale with |amb| x dim; over
+        the budget it must hand off to the join path (same results, no
+        per-component literals) — the round-2 'dim-4096 plan bloat' nit."""
+        import kgkit.operators.linking as L
+
+        mentions, emb, aliases = _synthetic_kb(
+            spark, n_amb_entities=8, n_pages=4, dim=64
+        )
+        # 8 entities x 64 dims = 512 components; budget of 100 forces
+        # the fallback without needing a slow genuinely-wide fixture
+        old = L._LITERAL_PLAN_BUDGET
+        try:
+            L._LITERAL_PLAN_BUDGET = 100
+            capped = link_mentions(mentions, emb, aliases,
+                                   max_literal_amb=1000)
+            plan = capped._jdf.queryExecution().executedPlan().toString()
+            assert "map_from_entries" not in plan  # literal-path marker
+        finally:
+            L._LITERAL_PLAN_BUDGET = old
+        uncapped = link_mentions(mentions, emb, aliases, max_literal_amb=1000)
+        key = ["url", "mention_id"]
+        a = {tuple(r[k] for k in key): (r["entity_id"], r["link_score"])
+             for r in capped.collect()}
+        b = {tuple(r[k] for k in key): (r["entity_id"], r["link_score"])
+             for r in uncapped.collect()}
+        assert a == b
