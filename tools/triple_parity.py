@@ -33,6 +33,12 @@ def reference_triples(sf_dir: str):
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
     ).fetchall()
+    # the Spark pipeline's input includes the planted OOV/CJK pages
+    # (kgkit.queries._pages); the reference path must see the same
+    # corpus or the planted pages' triples score as false positives
+    from kgkit.sources.planted import planted_ner_docs
+
+    docs = list(docs) + planted_ner_docs()
     emb = {
         int(v): list(e)
         for v, e in duckdb.sql(
