@@ -1021,6 +1021,29 @@ ORACLES = {
                    '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS scrubbed_hash
         FROM planted
     """,
+    # per-host crawl hygiene over the deterministic Zipf-host fixture
+    # (text_quality.with_synth_hosts arithmetic replayed in SQL)
+    "host_stats": """
+        WITH pages AS (
+            SELECT 'https://' ||
+                   CASE WHEN doc_id % 2 = 0 THEN 'mega.example.org'
+                        ELSE 'h' || (doc_id % 19) || '.example.net' END ||
+                   '/page/' || doc_id AS url,
+                   text
+            FROM documents
+        ),
+        h AS (
+            SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, text
+            FROM pages
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+               round(1 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6)
+                   AS dup_ratio
+        FROM h GROUP BY host
+    """,
     # NFC canonicalization: DuckDB nfc_normalize vs the python
     # unicodedata UDF — both implement Unicode canonical composition;
     # the planted NFD suffix literal is generated from the SAME

@@ -341,6 +341,18 @@ def _pii_scrub_q(spark, sf_dir):
     return pii_scrub(plant_pii(_documents(spark, sf_dir)))
 
 
+def _host_stats_q(spark, sf_dir):
+    """Per-host crawl-hygiene stats over a deterministic Zipf-host URL
+    fixture (kgkit.operators.text_quality.with_synth_hosts/host_stats):
+    page counts, bytes, distinct-text counts and the per-host
+    duplication ratio that drives host-level filtering."""
+    from kgkit.operators.text_quality import host_stats, with_synth_hosts
+
+    return host_stats(
+        with_synth_hosts(_documents(spark, sf_dir).select("doc_id", "text"))
+    )
+
+
 def _unicode_nfc_q(spark, sf_dir):
     """Unicode NFC canonicalization over a planted-NFD corpus (the
     pre-dedup normalization step; kgkit.operators.text_quality
@@ -832,6 +844,7 @@ QUERIES = {
     "pii_scrub": _pii_scrub_q,
     "doc_fingerprint": _doc_fingerprint_q,
     "unicode_nfc": _unicode_nfc_q,
+    "host_stats": _host_stats_q,
     "dedup_exact": _dedup_exact_q,
     "dedup_minhash_lsh": _dedup_minhash_q,
     "dedup_incremental": _dedup_incremental_q,
