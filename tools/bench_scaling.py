@@ -99,14 +99,16 @@ def worker(cpus: int, path: str, sf_dir: str) -> None:
         full_pipeline()                      # JITs; 2x — walls keep falling
                                              # after one warmup at high core
                                              # counts, see BASELINE.md)
-        # four measured passes, best taken (standard steady-state
-        # methodology; GC pauses in a 30s window otherwise add ±20%).
+        # SPARK_GRAFT_SCALING_PASSES measured passes (default 4), best
+        # taken (standard steady-state methodology; GC pauses and
+        # hypervisor-neighbor stalls in a ~90s window otherwise add
+        # ±20-60% — the 32-core level is the more variance-exposed one).
         # Caches are dropped before each pass so all stages recompute;
         # the canonical-map memo is NOT cleared: the alias dictionary is
         # static per job, so production amortizes its CC fixpoint once —
         # both parallelism levels get the same treatment.
         walls = []
-        for _ in range(4):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "4"))):
             spark.catalog.clearCache()
             walls.append(full_pipeline())
         wall = min(walls)
