@@ -72,11 +72,30 @@ def pipeline_docs_per_sec(spark, sf_dir: str) -> float:
     return round(n_docs / wall, 2)
 
 
+def host_control_docs_per_sec(n_pages: int = 1500) -> float:
+    """Single-process pure-python NER over a fixed synthetic workload —
+    NO Spark, NO code under test beyond ner_core.  The sandbox host's
+    effective CPU speed varies run to run (hypervisor neighbors /
+    burst throttling: a 30% swing was measured with zero code change),
+    so every recorded bench carries this control: compare suite walls
+    ACROSS rounds via wall * (control / reference_control), not raw."""
+    from kgkit.ner_core import predict
+    from kgkit.ner_core.train import synth_words
+
+    texts = [" ".join(w) for w in
+             synth_words(n_pages, words_per_page=300, n_filler=200)]
+    predict(texts[:50], level="entity", autocorrect=True)  # warm caches
+    t0 = time.monotonic()
+    predict(texts, level="entity", autocorrect=True)
+    return round(n_pages / (time.monotonic() - t0), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    control = host_control_docs_per_sec()
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,6 +113,7 @@ def main() -> None:
             "sf": sf,
             "docs_per_sec": docs_per_sec,
             "cpus": cpus,
+            "host_control_docs_per_sec": control,
         }))
     finally:
         spark.stop()
