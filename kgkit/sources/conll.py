@@ -62,3 +62,54 @@ def read_conll(spark, path: str, iob2: bool = True) -> DataFrame:
             ).otherwise(F.col("tag")),
         )
     return out.drop("_prev")
+
+
+def read_swedish_ner_corpus(spark, path: str) -> DataFrame:
+    """swedish_ner_corpus reader: 2-column whitespace rows (word tag),
+    blank-line sentences, with the dataset's tag normalization —
+    ORG* -> ORG, PRG -> O (and the generic '0' -> 'O')
+    (swedish_ner_corpus_formatter.py:44-54, 95-125; the download step
+    itself is env-blocked, the format semantics are what matter)."""
+    from kgkit.functions.tags import apply_tag_mapping
+
+    base = read_conll(spark, path, iob2=False)
+    return base.withColumn(
+        "tag", apply_tag_mapping(F.col("tag"), {"ORG*": "ORG", "PRG": "O"})
+    )
+
+
+def read_suc(spark, path: str) -> DataFrame:
+    """SUC 3.0 reader: 13-column TAB rows; word is column 2, the tag is
+    composed from the BIO kind (column 11) and entity class (column 12)
+    — 'O' stays 'O', else '<kind>-<class>'
+    (suc_formatter.py:89-124, transform_tags :164-176).  Rows with a
+    column count other than 13 are skipped (the reference logs and
+    treats them as empty rows)."""
+    lines = spark.read.text(path).withColumn(
+        "line_no", F.monotonically_increasing_id()
+    )
+    w = Window.orderBy("line_no")
+    is_blank = F.trim(F.col("value")) == ""
+    parsed = (
+        lines.withColumn("sentence_id", F.sum(is_blank.cast("long")).over(w))
+        .filter(~is_blank)
+        .withColumn("cols", F.split(F.col("value"), "\t"))
+        .filter(F.size("cols") == 13)
+        .select(
+            "sentence_id",
+            "line_no",
+            F.col("cols")[1].alias("word"),
+            F.when(F.element_at("cols", -3) == "O", F.lit("O"))
+            .otherwise(
+                F.concat(F.element_at("cols", -3), F.lit("-"),
+                         F.element_at("cols", -2))
+            ).alias("tag"),
+        )
+    )
+    ws = Window.partitionBy("sentence_id").orderBy("line_no")
+    return parsed.select(
+        "sentence_id",
+        (F.row_number().over(ws) - 1).cast("long").alias("pos"),
+        "word",
+        "tag",
+    )

@@ -259,3 +259,57 @@ class TestFunctionsTags:
             assert back.count() == 50
             n_tags = back.selectExpr("sum(size(tags)) s").collect()[0]["s"]
             assert n_tags == mentions.count()
+
+
+class TestSwedishFormatters:
+    """The two Swedish corpus formatters' parse semantics
+    (swedish_ner_corpus_formatter.py / suc_formatter.py) — download
+    steps are env-blocked, the format logic is what's testable."""
+
+    def test_swedish_ner_corpus(self, spark, tmp_path):
+        from kgkit.sources.conll import read_swedish_ner_corpus
+
+        p = tmp_path / "snc.txt"
+        p.write_text(
+            "Kalle PER\nbor 0\ni 0\nGöteborg LOC\n\n"
+            "Volvo ORG*\nkör PRG\n"
+        )
+        rows = {
+            (r["sentence_id"], r["pos"]): (r["word"], r["tag"])
+            for r in read_swedish_ner_corpus(spark, str(p)).collect()
+        }
+        assert rows == {
+            (0, 0): ("Kalle", "PER"), (0, 1): ("bor", "O"),
+            (0, 2): ("i", "O"), (0, 3): ("Göteborg", "LOC"),
+            (1, 0): ("Volvo", "ORG"), (1, 1): ("kör", "O"),
+        }
+
+    def test_suc(self, spark, tmp_path):
+        from kgkit.sources.conll import read_suc
+
+        def row(word, kind, cls):
+            cols = ["x"] * 13
+            cols[1] = word
+            cols[-3] = kind
+            cols[-2] = cls
+            return "\t".join(cols)
+
+        p = tmp_path / "suc.tsv"
+        p.write_text(
+            row("Det", "O", "_") + "\n"
+            + row("Anna", "B", "person") + "\n"
+            + row("Lindh", "I", "person") + "\n"
+            + "short\trow\n"            # malformed -> skipped
+            + "\n"
+            + row("Stockholm", "B", "place") + "\n"
+        )
+        rows = {
+            (r["sentence_id"], r["pos"]): (r["word"], r["tag"])
+            for r in read_suc(spark, str(p)).collect()
+        }
+        assert rows == {
+            (0, 0): ("Det", "O"),
+            (0, 1): ("Anna", "B-person"),
+            (0, 2): ("Lindh", "I-person"),
+            (1, 0): ("Stockholm", "B-place"),
+        }
