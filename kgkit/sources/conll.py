@@ -113,3 +113,48 @@ def read_suc(spark, path: str) -> DataFrame:
         "word",
         "tag",
     )
+
+
+def read_swe_nerc(spark, path: str) -> DataFrame:
+    """Swe-NERC reader (swe_nerc_formatter.py:105-213): rows of 3 or 4
+    space/tab-separated fields — word, plain tag, lemma-ish field, and
+    an optional trailing 'B' marker.  tag = 'O' for plain O; 'B-<tag>'
+    when the 4th field is 'B'; else 'I-<tag>'.  'SKIP-THIS-TOKEN' rows
+    are dropped and embedded whitespace/nbsp inside the word is removed
+    (the reference's ''.join(word.split())).  Rows matching neither
+    3-field nor 4-field-with-B shapes are skipped (the reference's
+    _parse_row returns [] for them)."""
+    lines = spark.read.text(path).withColumn(
+        "line_no", F.monotonically_increasing_id()
+    )
+    w = Window.orderBy("line_no")
+    is_blank = F.trim(F.col("value")) == ""
+    cols = F.split(F.regexp_replace(F.trim("value"), "\t", " "), " +")
+    parsed = (
+        lines.withColumn("sentence_id", F.sum(is_blank.cast("long")).over(w))
+        .filter(~is_blank)
+        .withColumn("cols", cols)
+        .filter(
+            (F.size("cols") == 3)
+            | ((F.size("cols") == 4) & (F.col("cols")[3] == "B"))
+        )
+        .filter(F.col("cols")[0] != "SKIP-THIS-TOKEN")
+        .select(
+            "sentence_id",
+            "line_no",
+            F.regexp_replace(F.col("cols")[0], r"[\s   ]+", "")
+            .alias("word"),
+            F.when(F.col("cols")[1] == "O", F.lit("O"))
+            .when(F.size("cols") == 4,
+                  F.concat(F.lit("B-"), F.col("cols")[1]))
+            .otherwise(F.concat(F.lit("I-"), F.col("cols")[1]))
+            .alias("tag"),
+        )
+    )
+    ws = Window.partitionBy("sentence_id").orderBy("line_no")
+    return parsed.select(
+        "sentence_id",
+        (F.row_number().over(ws) - 1).cast("long").alias("pos"),
+        "word",
+        "tag",
+    )

@@ -313,3 +313,27 @@ class TestSwedishFormatters:
             (0, 2): ("Lindh", "I-person"),
             (1, 0): ("Stockholm", "B-place"),
         }
+
+    def test_swe_nerc(self, spark, tmp_path):
+        from kgkit.sources.conll import read_swe_nerc
+
+        p = tmp_path / "swenerc.txt"
+        p.write_text(
+            "Det O xyz\n"
+            "Anna PER xyz B\n"
+            "Lindh PER xyz\n"          # 3 fields, non-O -> I-PER
+            "SKIP-THIS-TOKEN PER x B\n"
+            "bad PER xyz C\n"          # 4 fields without B -> skipped
+            "\n"
+            "G bg LOC xyz B\n"    # nbsp inside word removed
+        )
+        rows = {
+            (r["sentence_id"], r["pos"]): (r["word"], r["tag"])
+            for r in read_swe_nerc(spark, str(p)).collect()
+        }
+        assert rows == {
+            (0, 0): ("Det", "O"),
+            (0, 1): ("Anna", "B-PER"),
+            (0, 2): ("Lindh", "I-PER"),
+            (1, 0): ("Gbg", "B-LOC"),
+        }
