@@ -35,7 +35,7 @@ corpus x corpus again.
 
 from __future__ import annotations
 
-from typing import List
+
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

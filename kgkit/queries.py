@@ -21,11 +21,16 @@ from kgkit.sources.pages import load_pages, pages_for_mentions
 def _pages(spark, sf_dir):
     """NER input = driver corpus + the planted OOV/CJK/emoji pages
     (kgkit/sources/planted.py) — the oracle WORDS_CTE unions the same
-    rows, so the [UNK]-restoration path is hash-checked corpus-wide."""
+    rows, so the [UNK]-restoration path is hash-checked corpus-wide.
+    ``widen_for_udf`` un-serializes the single-row-group driver parquet
+    before the Arrow UDF stage (no-op at real scan widths)."""
+    from kgkit.sources.pages import widen_for_udf
     from kgkit.sources.planted import planted_ner_pages
 
-    return pages_for_mentions(load_pages(spark, sf_dir)).unionByName(
-        planted_ner_pages(spark)
+    return widen_for_udf(
+        pages_for_mentions(load_pages(spark, sf_dir)).unionByName(
+            planted_ner_pages(spark)
+        )
     )
 
 

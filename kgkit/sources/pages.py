@@ -57,6 +57,25 @@ def pages_for_mentions(pages: DataFrame) -> DataFrame:
     return pages.select("url", "text", "lang")
 
 
+def widen_for_udf(df: DataFrame, waves: int = 2) -> DataFrame:
+    """Repartition a NARROW input up to cluster width before a
+    CPU-bound python UDF stage — gated on the actual scan width, so at
+    production scale it is a no-op.
+
+    Why: an unsplittable small source (the driver's sf parquet is ONE
+    row group) yields one scan task no matter the partition-bytes
+    config, silently serializing the whole Arrow-UDF stage on one core
+    (measured: the sf0.1 mention queries ran at exactly single-process
+    python speed).  At 100 TB the source has thousands of row groups
+    and ``current >= target`` short-circuits; locally the round-robin
+    exchange ships only the narrow (url, text) projection — pennies
+    against the python compute it unblocks."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * waves
+    current = df.rdd.getNumPartitions()
+    return df.repartition(target) if current < target else df
+
+
 def synth_pages(
     spark: SparkSession,
     n_pages: int,
