@@ -100,8 +100,20 @@ def main() -> None:
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        # warm the JVM + python workers once (excluded from timings)
+        # warm the JVM + python workers once (excluded from timings):
+        # the range/sum warms codegen, the mapInPandas pass forks one
+        # python worker per core so the FIRST measured UDF query does
+        # not absorb the whole pool's fork+import cost
         spark.range(1000).selectExpr("sum(id)").collect()
+        def _warm_worker(it):
+            import kgkit.ner_core  # noqa: F401 — preload per worker
+
+            return it
+
+        width = spark.sparkContext.defaultParallelism * 2
+        spark.range(width * 4).repartition(width).mapInPandas(
+            _warm_worker, "id long"
+        ).write.format("noop").mode("overwrite").save()
         timings = run_suite(spark, sf_dir)
         docs_per_sec = pipeline_docs_per_sec(spark, sf_dir)
         total = round(sum(timings.values()), 3)

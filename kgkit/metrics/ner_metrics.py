@@ -510,6 +510,9 @@ def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
         ]
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()  # materialize BEFORE the fan-out: the five branches run
+    # inside one job, and concurrent tasks racing an unpopulated cache
+    # would each recompute the UDF partitions they beat the cache to
     conf = token_confusion(df)
     n_pred = conf.groupBy(F.col("pred").alias("l")).agg(F.sum("n").alias("n_pred"))
     n_true = conf.groupBy(F.col("true").alias("l")).agg(F.sum("n").alias("n_true"))
