@@ -621,6 +621,23 @@ ORACLES = {
     # M3: softmax over the TRAINED logits (z_num/1024 exact on both
     # engines; exp/round(6) absorbs last-ulp libm differences)
     "predict_proba_nn": _trained_proba_sql(),
+    # M3 production shape, canonicalized: one row per word, the
+    # distribution as a sorted 'cls:micro' string on the integer 1e-6
+    # grid.  Both engines round the softmax to 6 decimals first (the
+    # exploded oracle above hash-proves those doubles equal), so
+    # round(p*1e6) is the same bigint on both and string equality is
+    # exact — no float formatting in the compare path.
+    "predict_proba_nn_map": f"""
+        WITH proba AS ({_trained_proba_sql()})
+        SELECT url, pos,
+               string_agg(
+                   cls || ':' || CAST(CAST(round(proba * 1000000)
+                                           AS BIGINT) AS VARCHAR),
+                   ';' ORDER BY cls
+               ) AS probas_str
+        FROM proba
+        GROUP BY url, pos
+    """,
     "kg_linked": f"""
         WITH {LINKED_CTE}
         SELECT url, mention_id, char_start, char_end, surface, tag,
@@ -1078,29 +1095,6 @@ ORACLES = {
                round(sum(value), 4) AS total_value
         FROM events GROUP BY 1, 2
     """,
-    "q5_local_supplier": """
-        SELECT n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                       AND c.c_nationkey = s.s_nationkey
-        JOIN nation n   ON s.s_nationkey = n.n_nationkey
-        JOIN region r   ON n.n_regionkey = r.r_regionkey
-        WHERE r.r_name = 'ASIA'
-          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
-        GROUP BY n.n_name
-    """,
-    "q6_forecast_revenue": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1997-01-01'
-          AND l_discount BETWEEN 0.05 AND 0.07
-          AND l_quantity < 24
-    """,
     "q10_returned_items": """
         SELECT c.c_custkey, c.c_name, n.n_name,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -1478,30 +1472,6 @@ ORACLES = {
             GROUP BY query_id, neighbor_id
         )
         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-            FROM scored
-        ) WHERE rnk <= 3
-    """,
-    "ann_topk": """
-        WITH queries AS (
-            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-            FROM embeddings WHERE vec_id < 10
-        ),
-        corpus AS (
-            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
-            FROM embeddings WHERE vec_id >= 10
-        ),
-        scored AS (
-            SELECT q.query_id, c.neighbor_id,
-                   round(list_dot_product(qe, ce)
-                         / (sqrt(list_dot_product(qe, qe))
-                          * sqrt(list_dot_product(ce, ce))), 6) AS cos
-            FROM queries q CROSS JOIN corpus c
-        )
-        SELECT query_id, neighbor_id,
-               CAST(rnk AS BIGINT) AS rank
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk

@@ -89,18 +89,34 @@ def _predict_proba_nn_q(spark, sf_dir):
 
 def _predict_proba_nn_map_q(spark, sf_dir):
     """M3 in the PRODUCTION shape: one row per word, the whole
-    distribution as MAP<string,double> (kgkit.operators.mentions
-    word_probas_map).  Rows-only correctness check (no oracle_sql
-    entry): the driver's value-hash compare cannot canonicalize a map
-    column across engines, so the VALUE parity of the distributions is
-    gated through the exploded twin ``predict_proba_nn`` (full hash
-    oracle) plus tests/test_pipeline.py's map==exploded equivalence
-    test, and this row checks shape/cardinality (|words| rows, not
-    |words|x|classes|)."""
+    distribution packed per word (kgkit.operators.mentions
+    word_probas_map keeps the MAP<string,double> API).  The checked
+    projection serializes the map to one exact string per word —
+    entries sorted by class, each value on the integer 1e-6 grid
+    (``cls:micro``, ';'-joined) — because a raw MapType column cannot
+    be canonicalized by the driver's cross-engine hash compare
+    (unhashable dicts in the pandas sort).  Micro-int encoding makes
+    the string bit-identical across engines: both sides round the
+    softmax to 6 decimals first (the exploded twin ``predict_proba_nn``
+    hash-proves those doubles equal), so ``round(p*1e6)`` is the same
+    integer on both.  Full DuckDB oracle (string_agg over the same
+    trained-forward-pass CTE); |words| rows, not |words|x|classes|."""
     from kgkit.operators.mentions import word_probas_map
 
-    return word_probas_map(_pages(spark, sf_dir), model="trained").select(
-        "url", F.col("pos").cast("long").alias("pos"), "probas",
+    m = word_probas_map(_pages(spark, sf_dir), model="trained")
+    return m.select(
+        "url",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries("probas")),
+                lambda e: F.concat(
+                    e["key"], F.lit(":"),
+                    F.round(e["value"] * 1000000, 0).cast("long").cast("string"),
+                ),
+            ),
+            ";",
+        ).alias("probas_str"),
     )
 
 
@@ -730,52 +746,6 @@ def _q3_q(spark, sf_dir):
     )
 
 
-def _q5_q(spark, sf_dir):
-    """TPC-H Q5-style local-supplier volume: fact table joined against a
-    chain of BROADCAST dimensions (region->nation->customer/supplier) —
-    the canonical star-join the optimizer must keep broadcast at 100 TB."""
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    dims = (
-        nation.join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
-                    F.col("n_regionkey") == F.col("r_regionkey"))
-    )
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
-              & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
-    )
-
-
-def _q6_q(spark, sf_dir):
-    """TPC-H Q6 forecasting revenue — pure scan+filter+agg; the filters
-    must reach the parquet scan (PushedFilters)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue"))
-    )
-
-
 def _q10_q(spark, sf_dir):
     """TPC-H Q10-style returned-item report: top-20 customers by lost
     revenue (join + agg + ranked limit)."""
@@ -797,28 +767,6 @@ def _q10_q(spark, sf_dir):
              .alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
-    )
-
-
-def _ann_topk_q(spark, sf_dir):
-    """Brute-force cosine top-k (the exact baseline; the LSH-bucketed
-    scale path lives in kgkit/operators/similarity.py)."""
-    emb = _embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    corpus = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
-    )
-    scored = queries.crossJoin(corpus).select(
-        "query_id", "neighbor_id",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "rank")
     )
 
 
@@ -871,8 +819,12 @@ QUERIES = {
     "user_sessions": _user_sessions_q,
     "q1_pricing_summary": _q1_q,
     "q3_shipping_priority": _q3_q,
-    "q5_local_supplier": _q5_q,
-    "q6_forecast_revenue": _q6_q,
     "q10_returned_items": _q10_q,
-    "ann_topk": _ann_topk_q,
 }
+# Registry size is capped at 50 ON PURPOSE: the driver's correctness
+# gate checks the first 50 entries, and round 3 proved entries past
+# that fall silently outside the check window.  Fold a new query into
+# an existing family (the way brute-force ann_topk folded into the
+# LSH/IVF trio, and TPC-H q5/q6 were retired for the richer q3/q10
+# shapes) before appending a 51st.
+assert len(QUERIES) <= 50, f"driver checks 50 queries, registry has {len(QUERIES)}"
