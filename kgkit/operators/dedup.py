@@ -126,7 +126,8 @@ def lsh_band_table(signed: DataFrame, bands: int = 4, rows: int = 2) -> DataFram
 
 
 def _cap_buckets(band_table: DataFrame, max_bucket: int,
-                 observation=None) -> DataFrame:
+                 observation=None, keys=("band_idx", "band_hash"),
+                 id_col: str = "doc_id") -> DataFrame:
     """Drop band buckets with more than ``max_bucket`` members — the
     boilerplate skew guard: a bucket of size m yields m(m-1)/2 pairs,
     so one site template shared by 10^8 pages would go quadratic.  A
@@ -135,15 +136,20 @@ def _cap_buckets(band_table: DataFrame, max_bucket: int,
     en masse); treating them as a boilerplate CLASS rather than pair
     candidates is the standard LSH degeneracy handling.
 
+    ``keys``/``id_col`` parameterize the bucket key so every bucketed
+    candidate generator shares one guard: MinHash bands here, and the
+    sign-LSH embedding buckets in kgkit.operators.similarity
+    (embedding_near_dups), which round 3 shipped uncapped.
+
     Truncation is never silent: pass a ``pyspark.sql.Observation`` to
     receive (buckets_dropped, band_rows_dropped) as free observation
     metrics on the first action — no extra job, unlike an eager count.
     The bucket-size annotation is a window count over the SAME
-    (band_idx, band_hash) key the subsequent self-join shuffles on, so
-    AQE coalesces the two into one exchange of the band table."""
+    bucket key the subsequent self-join shuffles on, so AQE coalesces
+    the two into one exchange of the band table."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band_idx", "band_hash")
+    w = Window.partitionBy(*keys)
     sized = band_table.withColumn("_bsz", F.count("*").over(w))
     if observation is not None:
         # metrics ride the plan for free; candidate_pairs attaches this
@@ -153,7 +159,7 @@ def _cap_buckets(band_table: DataFrame, max_bucket: int,
         # metrics forbid DISTINCT, so buckets are counted by marking
         # each bucket's first row with a row_number over the same key.
         marked = sized.withColumn(
-            "_brn", F.row_number().over(w.orderBy("doc_id"))
+            "_brn", F.row_number().over(w.orderBy(id_col))
         ).observe(
             observation,
             F.sum(

@@ -1389,13 +1389,21 @@ ORACLES = {
             FROM embeddings WHERE vec_id % 20 = 0
         ),
         bucketed AS (
-            SELECT vec_id, e, {_hyperplane_bucket_sql('e')} AS bucket
+            SELECT vec_id, e, {_hyperplane_bucket_sql('e', planes=8)} AS bucket
             FROM emb2
+        ),
+        -- mirror embedding_near_dups' max_bucket skew guard (buckets
+        -- over 1000 members are dropped before the self-join)
+        kept AS (
+            SELECT b.* FROM bucketed b
+            JOIN (SELECT bucket FROM bucketed
+                  GROUP BY bucket HAVING count(*) <= 1000) k
+              USING (bucket)
         ),
         pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    a.e AS ea, b.e AS eb
-            FROM bucketed a JOIN bucketed b
+            FROM kept a JOIN kept b
               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
         SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,

@@ -111,3 +111,50 @@ class TestHighDimPlanSize:
         # round 2's literal arrays made the plan grow ~linearly with dim;
         # the closed form changes only the two dim constants
         assert len(p512) < len(p64) * 1.2, (len(p64), len(p512))
+
+
+class TestEmbeddingNearDupsCap:
+    """max_bucket skew guard on the sign-LSH near-dup join — the
+    embedding twin of the MinHash band-bucket cap (dedup._cap_buckets)."""
+
+    def _degenerate(self, spark, n_boiler=40, n_real=4, dim=8):
+        """n_boiler identical 'boilerplate' vectors (one mega-bucket)
+        plus two planted duplicate pairs in distinct directions."""
+        rows = [(i, [1.0] + [0.0] * (dim - 1)) for i in range(n_boiler)]
+        for j in range(n_real // 2):
+            v = [0.0] * dim
+            v[1 + j] = 1.0
+            rows.append((1000 + 2 * j, list(v)))
+            rows.append((1001 + 2 * j, list(v)))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_mega_bucket_dropped_real_pairs_kept(self, spark):
+        from pyspark.sql import Observation
+
+        from kgkit.operators.similarity import embedding_near_dups
+
+        emb = self._degenerate(spark)
+        obs = Observation("emb-cap")
+        got = embedding_near_dups(
+            emb, threshold=0.999, dim=8, max_bucket=10, observation=obs
+        ).collect()
+        pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+        # boilerplate mega-bucket (40 > cap 10) contributes ZERO pairs…
+        assert all(a >= 1000 for a, _ in pairs), pairs
+        # …while the planted duplicate pairs below the cap survive
+        assert (1000, 1001) in pairs and (1002, 1003) in pairs
+        m = obs.get
+        assert m["buckets_dropped"] == 1
+        assert m["band_rows_dropped"] == 40
+
+    def test_uncapped_mega_bucket_is_quadratic(self, spark):
+        """Sanity on the guard's reason to exist: without the cap the
+        same corpus yields C(40,2) boilerplate pairs."""
+        from kgkit.operators.similarity import embedding_near_dups
+
+        emb = self._degenerate(spark)
+        got = embedding_near_dups(
+            emb, threshold=0.999, dim=8, max_bucket=10_000
+        ).collect()
+        boiler = [r for r in got if r["vec_a"] < 1000]
+        assert len(boiler) == 40 * 39 // 2
