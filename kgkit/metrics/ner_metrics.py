@@ -479,23 +479,30 @@ def metrics_fanout(
 
 def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
     """A9 as ONE distributed plan: (level, subset, precision_micro,
-    recall_micro, f1_micro) rows for token subsets all / fil / <label>
-    and entity subsets fil / <plain class> — the DataFrame twin of
-    ``metrics_fanout`` (which assembles the reference's nested-dict
-    shape from collected statistics).  Nothing is collected here: the
-    subset fan-out operates on the post-aggregation confusion / chunk
-    frames (≤ |labels| rows), so it is plan-side fan-out of tiny data,
-    not extra passes over the token stream.  Failure-code semantics
+    recall_micro, f1_micro, precision_macro, recall_macro, f1_macro)
+    rows for token subsets all / fil / <label> and entity subsets
+    fil / <plain class> — the DataFrame twin of ``metrics_fanout``
+    (which assembles the reference's nested-dict shape from collected
+    statistics).  Nothing is collected here: the subset fan-out
+    operates on the post-aggregation confusion / chunk frames
+    (≤ |labels| rows), so it is plan-side fan-out of tiny data, not
+    extra passes over the token stream.  Failure-code semantics
     (−1 sentinels) follow token_metrics_from_confusion /
-    entity_metrics_from_counts exactly.
+    entity_metrics_from_counts exactly; macro semantics likewise:
+    a subset's macro is the per-class mean under that subset's
+    zero-division rule (so a single-class subset has macro == micro,
+    with −1 propagated), and entity per-class ('ind') rows carry NULL
+    macro because the reference's per-class dict has no macro keys.
 
-    The input stream is persisted: the union has five branches whose
-    lineages all reach the (word-level UDF) source, and the upstream
-    lambda plans defeat ReusedExchange canonicalization (CLAUDE.md) —
-    without the persist the UDF executes once per branch."""
+    The input stream is persisted for the duration of the fan-out
+    (five union branches whose lineages all reach the word-level UDF
+    source; the upstream lambda plans defeat ReusedExchange
+    canonicalization — CLAUDE.md), the tiny result is materialized
+    eagerly (localCheckpoint), and the input cache is RELEASED before
+    returning — round 3 leaked one MEMORY_AND_DISK frame per call."""
     from pyspark import StorageLevel
 
-    def _prf(tp, np_, nt, und):
+    def _raw_prf(tp, np_, nt, und):
         p = F.when(np_ > 0, tp / np_).otherwise(und)
         r = F.when(nt > 0, tp / nt).otherwise(und)
         f = (
@@ -503,10 +510,21 @@ def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
             .when(p + r > 0, F.lit(2) * p * r / (p + r))
             .otherwise(F.lit(0.0))
         )
+        return p, r, f
+
+    def _prf(tp, np_, nt, und):
+        p, r, f = _raw_prf(tp, np_, nt, und)
         return [
             F.round(p, 6).alias("precision_micro"),
             F.round(r, 6).alias("recall_micro"),
             F.round(f, 6).alias("f1_micro"),
+        ]
+
+    def _macro(pm, rm, fm):
+        return [
+            F.round(pm, 6).alias("precision_macro"),
+            F.round(rm, 6).alias("recall_macro"),
+            F.round(fm, 6).alias("f1_macro"),
         ]
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -526,6 +544,16 @@ def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
         .join(tp, "l", "left")
         .na.fill({"n_pred": 0, "n_true": 0, "tp": 0})
     )
+    # per-class token values under zero_division 0.0, plus undefinedness
+    # flags — the macro for a subset is the mean of these, EXCEPT a
+    # single-class subset where an undefined denominator means −1
+    # (token_metrics_from_confusion's classes=[c] rule)
+    p0, r0, f0 = _raw_prf(
+        F.col("tp"), F.col("n_pred"), F.col("n_true"), F.lit(0.0)
+    )
+    ls = ls.withColumn("p0", p0).withColumn("r0", r0).withColumn("f0", f0) \
+        .withColumn("pund", F.when(F.col("n_pred") == 0, 1).otherwise(0)) \
+        .withColumn("rund", F.when(F.col("n_true") == 0, 1).otherwise(0))
     fil = ls.filter(F.col("l") != "O")
 
     # subset 'all': classes=None -> zero_division 0.0 unconditionally;
@@ -533,38 +561,74 @@ def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
     tok_all = ls.agg(
         F.sum("tp").alias("tp"), F.sum("n_pred").alias("np_"),
         F.sum("n_true").alias("nt"),
+        F.avg("p0").alias("ap"), F.avg("r0").alias("ar"),
+        F.avg("f0").alias("af"),
     ).select(
         F.lit("token").alias("level"), F.lit("all").alias("subset"),
         *_prf(F.col("tp"), F.col("np_"), F.col("nt"), F.lit(0.0)),
+        *_macro(F.coalesce(F.col("ap"), F.lit(0.0)),
+                F.coalesce(F.col("ar"), F.lit(0.0)),
+                F.coalesce(F.col("af"), F.lit(0.0))),
     )
-    tok_fil = ls.filter(F.col("l") != "O").agg(
+    tok_fil_agg = fil.agg(
         F.sum("tp").alias("tp"), F.sum("n_pred").alias("np_"),
         F.sum("n_true").alias("nt"), F.count("*").alias("nl"),
-    ).select(
+        F.avg("p0").alias("ap"), F.avg("r0").alias("ar"),
+        F.avg("f0").alias("af"),
+        F.max("pund").alias("pu"), F.max("rund").alias("ru"),
+    )
+    one = F.col("nl") == 1
+    tok_fil = tok_fil_agg.select(
         F.lit("token").alias("level"), F.lit("fil").alias("subset"),
         *_prf(F.col("tp"), F.col("np_"), F.col("nt"),
-              F.when(F.col("nl") == 1, F.lit(FAILURE)).otherwise(F.lit(0.0))),
+              F.when(one, F.lit(FAILURE)).otherwise(F.lit(0.0))),
+        *_macro(
+            F.when(one & (F.col("pu") == 1), F.lit(FAILURE))
+            .otherwise(F.coalesce(F.col("ap"), F.lit(0.0))),
+            F.when(one & (F.col("ru") == 1), F.lit(FAILURE))
+            .otherwise(F.coalesce(F.col("ar"), F.lit(0.0))),
+            F.when(one & ((F.col("pu") == 1) | (F.col("ru") == 1)),
+                   F.lit(FAILURE))
+            .otherwise(F.coalesce(F.col("af"), F.lit(0.0))),
+        ),
+    )
+    # single-class subsets: macro == micro by definition (mean of one)
+    pc, rc, fc = _raw_prf(
+        F.col("tp"), F.col("n_pred"), F.col("n_true"), F.lit(FAILURE)
     )
     tok_cls = fil.select(
         F.lit("token").alias("level"), F.col("l").alias("subset"),
         *_prf(F.col("tp"), F.col("n_pred"), F.col("n_true"), F.lit(FAILURE)),
+        *_macro(pc, rc, fc),
     )
 
     counts = entity_class_counts(df, scheme)
-    ent_fil = counts.agg(
+    ep0, er0, ef0 = _raw_prf(
+        F.col("tp"), F.col("tp") + F.col("fp"), F.col("tp") + F.col("fn"),
+        F.lit(0.0),
+    )
+    ent_fil = counts.withColumn("ep0", ep0).withColumn("er0", er0) \
+        .withColumn("ef0", ef0).agg(
         F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
         F.sum("fn").alias("fn"),
+        F.avg("ep0").alias("ap"), F.avg("er0").alias("ar"),
+        F.avg("ef0").alias("af"),
     ).select(
         F.lit("entity").alias("level"), F.lit("fil").alias("subset"),
         *_prf(F.col("tp"), F.col("tp") + F.col("fp"),
               F.col("tp") + F.col("fn"), F.lit(FAILURE)),
+        *_macro(F.coalesce(F.col("ap"), F.lit(0.0)),
+                F.coalesce(F.col("ar"), F.lit(0.0)),
+                F.coalesce(F.col("af"), F.lit(0.0))),
     )
     # per-class entity rows exist for every plain class the TOKEN labels
     # mention, with −1 rows for classes absent from the chunk counts
-    # (the reference's seqeval IndexError path)
+    # (the reference's seqeval IndexError path); NO macro — the
+    # reference's per-class entity dict carries only micro keys
     plain = fil.select(
         F.regexp_replace("l", "^[BILU]-", "").alias("subset")
     ).distinct()
+    null_d = F.lit(None).cast("double")
     ent_cls = plain.join(
         counts.withColumnRenamed("cls", "subset"), "subset", "left"
     ).select(
@@ -573,9 +637,17 @@ def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
               F.when(F.col("tp").isNotNull(), F.col("tp") + F.col("fp")),
               F.when(F.col("tp").isNotNull(), F.col("tp") + F.col("fn")),
               F.lit(FAILURE)),
+        null_d.alias("precision_macro"), null_d.alias("recall_macro"),
+        null_d.alias("f1_macro"),
     )
-    return tok_all.unionByName(tok_fil).unionByName(tok_cls) \
+    out = tok_all.unionByName(tok_fil).unionByName(tok_cls) \
         .unionByName(ent_fil).unionByName(ent_cls)
+    # the result is ≤ 3 + |labels| + |classes| rows: materialize it
+    # eagerly so the big persisted input can be released NOW instead of
+    # leaking one cached frame per call for the session's lifetime
+    out = out.localCheckpoint()
+    df.unpersist()
+    return out
 
 
 def classification_report(

@@ -185,3 +185,39 @@ def default_trained_tagger() -> TrainedTagger:
     if _DEFAULT is None:
         _DEFAULT = TrainedTagger.load(DEFAULT_CKPT)
     return _DEFAULT
+
+
+# oracle preconditions (kgkit/oracles.py _trained_tags_cte): the SQL
+# twin recomputes the forward pass with DOCUMENT-level lag/lead
+# contexts and assumes every printable-ASCII word WordPiece-tokenizes
+# to real pieces.  Both assumptions have bounds the current corpora sit
+# far inside; assert them in the query path so a corpus change fails
+# loudly instead of silently drifting from the oracle.
+_MAX_ASCII_WORD = 99    # >= 100 pieces -> [UNK] (wordpiece cap), but the
+                        # oracle keys lower(word) for any '^[!-~]+$' match
+_MAX_DOC_CHARS = 1022   # pieces-per-doc <= chars-per-doc; one slice holds
+                        # 1022 content subtokens, and multi-slice docs use
+                        # slice-bounded '' contexts the SQL does not
+
+
+def assert_oracle_bounds(texts: Sequence[str]) -> None:
+    """Raise if a document could diverge from the trained-head SQL
+    oracle: a multi-slice doc (conservatively: > 1022 chars, since a
+    word never yields more pieces than characters) or a printable-ASCII
+    word long enough to hit the tokenizer's [UNK] piece cap."""
+    for t in texts:
+        if t is None:
+            continue
+        if len(t) > _MAX_DOC_CHARS:
+            raise ValueError(
+                f"document of {len(t)} chars may span WordPiece slices; "
+                "the trained-head oracle assumes single-slice documents "
+                f"(<= {_MAX_DOC_CHARS} chars is the safe bound)"
+            )
+        for w in t.split(" "):
+            if len(w) > _MAX_ASCII_WORD and w.isascii() and w.isprintable():
+                raise ValueError(
+                    f"printable-ASCII word of {len(w)} chars exceeds the "
+                    f"tokenizer's piece cap; the oracle would key "
+                    "lower(word) while the model sees [UNK]"
+                )

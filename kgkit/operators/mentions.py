@@ -64,12 +64,18 @@ def _detect_batches_for(model: str):
     def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # import inside the worker so the UDF pickles by reference only
         from kgkit.ner_core import predict
+        from kgkit.ner_core.trained import TrainedTagger, assert_oracle_bounds
         from kgkit.ner_core.wordpiece import default_tokenizer
 
         tokenizer = default_tokenizer()   # executor-local singletons
         tagger = _resolve_tagger(model)
 
         for pdf in batches:
+            if isinstance(tagger, TrainedTagger):
+                # fail loudly if the corpus leaves the bounds the
+                # trained-head SQL oracle assumes (single-slice docs,
+                # no ASCII word at the [UNK] piece cap)
+                assert_oracle_bounds(pdf["text"].tolist())
             out = {
                 "url": [], "mention_id": [], "char_start": [],
                 "char_end": [], "surface": [], "tag": [],
@@ -108,6 +114,7 @@ def _word_proba_rows(pages: DataFrame, model: str, classes) -> DataFrame:
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from kgkit.ner_core.pipeline import predict_proba
+        from kgkit.ner_core.trained import TrainedTagger, assert_oracle_bounds
         from kgkit.ner_core.wordpiece import default_tokenizer
 
         tokenizer = default_tokenizer()
@@ -118,6 +125,8 @@ def _word_proba_rows(pages: DataFrame, model: str, classes) -> DataFrame:
                 f"driver-resolved classes {classes} for model={model!r}"
             )
         for pdf in batches:
+            if isinstance(tagger, TrainedTagger):
+                assert_oracle_bounds(pdf["text"].tolist())
             out = {"url": [], "pos": [], "probas": []}
             results = predict_proba(
                 pdf["text"].tolist(), tokenizer=tokenizer, tagger=tagger,

@@ -816,33 +816,84 @@ ORACLES = {
                    sum(CASE WHEN in_true AND NOT in_pred THEN 1 ELSE 0 END) AS fn
             FROM j GROUP BY cls
         ),
+        -- per-class values under zero_division 0.0 + undefinedness
+        -- flags: a subset's macro is the mean of these, except a
+        -- single-class subset where an undefined denominator is -1
+        -- (mirrors metrics_fanout_df's macro columns exactly)
+        ls3 AS (
+            SELECT *, CASE WHEN p0 + r0 > 0 THEN 2 * p0 * r0 / (p0 + r0)
+                           ELSE 0.0 END AS f0
+            FROM (
+                SELECT *,
+                   CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END AS p0,
+                   CASE WHEN n_true > 0 THEN tp / n_true ELSE 0.0 END AS r0,
+                   CASE WHEN n_pred = 0 THEN 1 ELSE 0 END AS pund,
+                   CASE WHEN n_true = 0 THEN 1 ELSE 0 END AS rund
+                FROM ls
+            )
+        ),
+        ecnt3 AS (
+            SELECT *, CASE WHEN ep0 + er0 > 0
+                           THEN 2 * ep0 * er0 / (ep0 + er0)
+                           ELSE 0.0 END AS ef0
+            FROM (
+                SELECT *,
+                   CASE WHEN tp + fp > 0 THEN tp / (tp + fp)
+                        ELSE 0.0 END AS ep0,
+                   CASE WHEN tp + fn > 0 THEN tp / (tp + fn)
+                        ELSE 0.0 END AS er0
+                FROM ecnt
+            )
+        ),
         allb AS (
             SELECT 'token' AS level, 'all' AS subset, sum(tp) AS tp,
-                   sum(n_pred) AS np, sum(n_true) AS nt, 0.0 AS und
-            FROM ls
+                   sum(n_pred) AS np, sum(n_true) AS nt, 0.0 AS und,
+                   COALESCE(avg(p0), 0.0) AS pm,
+                   COALESCE(avg(r0), 0.0) AS rm,
+                   COALESCE(avg(f0), 0.0) AS fm
+            FROM ls3
             UNION ALL
             SELECT 'token', 'fil', sum(tp), sum(n_pred), sum(n_true),
-                   CASE WHEN count(*) = 1 THEN -1.0 ELSE 0.0 END
-            FROM ls WHERE l != 'O'
+                   CASE WHEN count(*) = 1 THEN -1.0 ELSE 0.0 END,
+                   CASE WHEN count(*) = 1 AND max(pund) = 1 THEN -1.0
+                        ELSE COALESCE(avg(p0), 0.0) END,
+                   CASE WHEN count(*) = 1 AND max(rund) = 1 THEN -1.0
+                        ELSE COALESCE(avg(r0), 0.0) END,
+                   CASE WHEN count(*) = 1
+                         AND (max(pund) = 1 OR max(rund) = 1) THEN -1.0
+                        ELSE COALESCE(avg(f0), 0.0) END
+            FROM ls3 WHERE l != 'O'
             UNION ALL
-            SELECT 'token', l, tp, n_pred, n_true, -1.0
-            FROM ls WHERE l != 'O'
+            -- single-class subsets: macro == micro (mean of one, with
+            -- -1 propagated through an undefined denominator)
+            SELECT 'token', l, tp, n_pred, n_true, -1.0,
+                   CASE WHEN pund = 1 THEN -1.0 ELSE p0 END,
+                   CASE WHEN rund = 1 THEN -1.0 ELSE r0 END,
+                   CASE WHEN pund = 1 OR rund = 1 THEN -1.0 ELSE f0 END
+            FROM ls3 WHERE l != 'O'
             UNION ALL
             SELECT 'entity', 'fil', sum(tp), sum(tp) + sum(fp),
-                   sum(tp) + sum(fn), -1.0
-            FROM ecnt
+                   sum(tp) + sum(fn), -1.0,
+                   COALESCE(avg(ep0), 0.0), COALESCE(avg(er0), 0.0),
+                   COALESCE(avg(ef0), 0.0)
+            FROM ecnt3
             UNION ALL
+            -- entity per-class ('ind') rows have NO macro (the
+            -- reference's per-class dict carries only micro keys)
             SELECT 'entity', pl.subset, e.tp,
                    CASE WHEN e.tp IS NOT NULL THEN e.tp + e.fp END,
-                   CASE WHEN e.tp IS NOT NULL THEN e.tp + e.fn END, -1.0
+                   CASE WHEN e.tp IS NOT NULL THEN e.tp + e.fn END, -1.0,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE)
             FROM (SELECT DISTINCT regexp_replace(l, '^[BILU]-', '') AS subset
                   FROM ls WHERE l != 'O') pl
-            LEFT JOIN ecnt e ON e.cls = pl.subset
+            LEFT JOIN ecnt3 e ON e.cls = pl.subset
         ),
         pr AS (
             SELECT level, subset,
                    CASE WHEN np > 0 THEN tp / np ELSE und END AS p,
-                   CASE WHEN nt > 0 THEN tp / nt ELSE und END AS r
+                   CASE WHEN nt > 0 THEN tp / nt ELSE und END AS r,
+                   pm, rm, fm
             FROM allb
         )
         SELECT level, subset,
@@ -850,7 +901,10 @@ ORACLES = {
                round(r, 6) AS recall_micro,
                round(CASE WHEN p = -1.0 OR r = -1.0 THEN -1.0
                           WHEN p + r > 0 THEN 2 * p * r / (p + r)
-                          ELSE 0.0 END, 6) AS f1_micro
+                          ELSE 0.0 END, 6) AS f1_micro,
+               round(pm, 6) AS precision_macro,
+               round(rm, 6) AS recall_macro,
+               round(fm, 6) AS f1_macro
         FROM pr
     """,
     "label_set": f"""

@@ -11,10 +11,11 @@ sandbox with no egress.  Against a real deployment the default opener
 talks to the same endpoints the SDKs call.
 
 Lifecycle parity with AnnotationToolBase:
-  * ``upload(project_name, rows)`` asserts the project does NOT exist
+  * ``upload(project_name, rows)`` requires the project NOT exist
     yet, creates it, registers the label set, converts
     nerblackbox→tool format, uploads (base.py:188-234).
-  * ``download(project_name)`` asserts EXACTLY ONE project matches,
+  * ``download(project_name)`` requires EXACTLY ONE project match
+    (both raise ValueError otherwise),
     exports, converts tool→nerblackbox format (base.py:159-186).
   * label colors follow the reference's deterministic palette idea
     (annotation/colors.py): a fixed color per label-name hash.
@@ -121,9 +122,10 @@ class DoccanoHttp:
 
     # -- AnnotationToolBase lifecycle ---------------------------------------
     def upload(self, project_name: str, rows: List[dict]) -> None:
-        assert not self.projects_named(project_name), (
-            f"project {project_name} already exists"
-        )
+        if self.projects_named(project_name):
+            # explicit raise, not assert: this guards a LIVE tool against
+            # duplicate project creation and must survive python -O
+            raise ValueError(f"project {project_name} already exists")
         project = self.create_project(project_name)
         labels = sorted({
             t[2] if isinstance(t, (list, tuple)) else t["label"]
@@ -135,9 +137,10 @@ class DoccanoHttp:
 
     def download(self, project_name: str) -> List[dict]:
         projects = self.projects_named(project_name)
-        assert len(projects) == 1, (
-            f"found {len(projects)} projects named {project_name}, expected 1"
-        )
+        if len(projects) != 1:
+            raise ValueError(
+                f"found {len(projects)} projects named {project_name}, expected 1"
+            )
         return self.download_rows(projects[0]["id"])
 
 
@@ -187,9 +190,10 @@ class LabelStudioHttp:
 
     # -- AnnotationToolBase lifecycle ---------------------------------------
     def upload(self, project_name: str, tasks: List[dict]) -> None:
-        assert not self.projects_named(project_name), (
-            f"project {project_name} already exists"
-        )
+        if self.projects_named(project_name):
+            # explicit raise, not assert: this guards a LIVE tool against
+            # duplicate project creation and must survive python -O
+            raise ValueError(f"project {project_name} already exists")
         labels = sorted({
             lbl
             for task in tasks
@@ -202,9 +206,10 @@ class LabelStudioHttp:
 
     def download(self, project_name: str) -> List[dict]:
         projects = self.projects_named(project_name)
-        assert len(projects) == 1, (
-            f"found {len(projects)} projects named {project_name}, expected 1"
-        )
+        if len(projects) != 1:
+            raise ValueError(
+                f"found {len(projects)} projects named {project_name}, expected 1"
+            )
         return self.export_tasks(projects[0]["id"])
 
 

@@ -162,14 +162,14 @@ class TestDoccanoHttp:
             lbl["text"] for lbl in fake_server.projects[0]["labels"]
         }
         assert labels == {"ORG", "LOC", "TECH", "OP"}
-        with pytest.raises(AssertionError, match="already exists"):
+        with pytest.raises(ValueError, match="already exists"):
             upload_df(df, tool, "batch_1")
 
     def test_download_requires_exactly_one_project(self, fake_server):
         from kgkit.sources.annotation_http import DoccanoHttp
 
         tool = DoccanoHttp(fake_server.url, "admin", "pw")
-        with pytest.raises(AssertionError, match="expected 1"):
+        with pytest.raises(ValueError, match="expected 1"):
             tool.download("missing")
 
     def test_bad_login_sets_disconnected(self):

@@ -86,3 +86,49 @@ class TestStreamingEngine:
         )
         q.awaitTermination(120)
         assert set(got) == {(1, 101, 1.0)}
+
+
+class TestIndexMaintenance:
+    def test_compaction_preserves_results_and_folds_parts(self, spark):
+        """Growing past compact_every folds the part lists into single
+        eagerly-materialized frames without changing any answer."""
+        from kgkit.streaming.dedup_stream import IncrementalDedupStream
+
+        stm = IncrementalDedupStream(
+            _df(spark, [(1, BASE)]), grow_index=True, compact_every=2
+        )
+        assert (len(stm.sh_parts), len(stm.bt_parts)) == (1, 1)
+        p1 = {tuple(r) for r in stm.process_batch(_df(spark, [(101, THIRD)])).collect()}
+        assert p1 == set()
+        assert len(stm.bt_parts) == 2
+        p2 = {tuple(r) for r in stm.process_batch(_df(spark, [(201, OTHER)])).collect()}
+        assert p2 == set()
+        # second grown batch hits compact_every=2 -> parts folded to one
+        assert (len(stm.sh_parts), len(stm.bt_parts)) == (1, 1)
+        # post-compaction probes still see ALL earlier stream content
+        p3 = {
+            tuple(r)
+            for r in stm.process_batch(
+                _df(spark, [(301, THIRD), (302, OTHER), (303, BASE)])
+            ).collect()
+        }
+        assert p3 == {(101, 301, 1.0), (201, 302, 1.0), (1, 303, 1.0)}
+
+    def test_probe_time_cap_counts_whole_grown_buckets(self, spark):
+        """max_bucket is enforced over the GROWN index at probe time:
+        a bucket that only exceeds the cap after stream appends stops
+        yielding candidates."""
+        from kgkit.streaming.dedup_stream import IncrementalDedupStream
+
+        stm = IncrementalDedupStream(
+            _df(spark, [(i, BASE) for i in range(3)]),
+            grow_index=True, max_bucket=4,
+        )
+        # grow the BASE bucket past the cap (3 corpus + 2 stream = 5 > 4)
+        p1 = {
+            tuple(r)
+            for r in stm.process_batch(_df(spark, [(101, BASE), (102, BASE)])).collect()
+        }
+        assert p1 == {(i, j, 1.0) for i in range(3) for j in (101, 102)}
+        p2 = {tuple(r) for r in stm.process_batch(_df(spark, [(201, BASE)])).collect()}
+        assert p2 == set()

@@ -318,6 +318,15 @@ class TestMetricsFanoutDf:
                     assert row[k] == _pt.approx(m[k], abs=1e-6), (
                         level, subset, k, row[k], m[k],
                     )
+                for k in ("precision_macro", "recall_macro", "f1_macro"):
+                    if k in m:
+                        assert row[k] == _pt.approx(m[k], abs=1e-6), (
+                            level, subset, k, row[k], m[k],
+                        )
+                    else:
+                        # entity per-class dicts carry no macro keys ->
+                        # the df twin emits NULL there
+                        assert row[k] is None, (level, subset, k, row[k])
         # every df row has a dict twin (no extra subsets)
         assert set(got) == {
             (lv, s) for lv in ("token", "entity") for s in want[lv]

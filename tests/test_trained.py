@@ -165,3 +165,36 @@ class TestDivergenceAndByteIdentity:
         b = train_pages(50)
         assert a == b
         assert {w for p in a for w in p} >= {"hash", "join", "spark"}
+
+
+class TestOracleBounds:
+    """Oracle preconditions fail LOUDLY (kgkit.ner_core.trained
+    .assert_oracle_bounds) instead of silently diverging from the SQL
+    forward-pass twin."""
+
+    def test_current_corpora_pass(self):
+        from kgkit.ner_core.trained import assert_oracle_bounds
+
+        assert_oracle_bounds(["a normal document", None, "emoji 🎉 ok"])
+
+    def test_multi_slice_doc_rejected(self):
+        import pytest
+
+        from kgkit.ner_core.trained import assert_oracle_bounds
+
+        with pytest.raises(ValueError, match="span WordPiece slices"):
+            assert_oracle_bounds(["word " * 300])
+
+    def test_piece_cap_ascii_word_rejected(self):
+        import pytest
+
+        from kgkit.ner_core.trained import assert_oracle_bounds
+
+        with pytest.raises(ValueError, match="piece cap"):
+            assert_oracle_bounds(["x" * 150])
+
+    def test_long_non_ascii_word_is_fine(self):
+        # non-ASCII words are [unk] on BOTH engines regardless of length
+        from kgkit.ner_core.trained import assert_oracle_bounds
+
+        assert_oracle_bounds(["日" * 150])
