@@ -11,10 +11,23 @@ the one genuinely iterative operator in the pipeline.  Each round:
 
 with ``localCheckpoint()`` per iteration to cut the lineage chain
 (otherwise the plan doubles every round), and convergence detected by a
-changed-row count.  Label propagation converges in <= diameter rounds
-(O(log n) with doubling variants; plain propagation is fine at the
-entity-graph scale, which is orders of magnitude smaller than the page
-corpus — the giant side of the data never enters this loop).
+changed-row count.
+
+Two variants:
+
+  * ``variant='doubling'`` (default): each round ALSO pointer-jumps
+    ``label(v) <- label(label(v))`` — the shortcutting step of
+    large-star/small-star-family CC algorithms (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"; hash-to-min of
+    Rastogi et al.).  Labels are monotone non-increasing and every
+    label value is itself a node, so the jump is one self-join; the
+    distance to the component minimum shrinks multiplicatively and the
+    fixpoint lands in O(log diameter) rounds.  On a chain-shaped
+    synonym graph (the worst case at 100x scale) this is the
+    difference between ~log2(n) rounds and n rounds.
+  * ``variant='propagation'``: plain min-label propagation,
+    <= diameter rounds — one fewer join per round, fine for the
+    shallow alias graph.
 """
 
 from __future__ import annotations
@@ -28,10 +41,18 @@ def _entity_key(col):
     return F.substring(col, 2, 10).cast("int")
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    variant: str = "doubling",
+    stats: dict = None,
+) -> DataFrame:
     """edges(src, dst) undirected -> components(entity_id, canonical_id).
 
-    canonical_id = the member with the smallest numeric part.
+    canonical_id = the member with the smallest numeric part.  See the
+    module docstring for the two variants; pass a dict as ``stats`` to
+    receive {'rounds': <iterations until fixpoint>} back (the
+    long-chain test pins the doubling variant to O(log n) rounds).
 
     The loop's shuffle width is sized to the GRAPH, not the session
     default: the entity graph is orders of magnitude smaller than the
@@ -40,6 +61,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     shuffle partitions dominated the whole pipeline's wall clock).
     ~100k edges per partition keeps each iteration a handful of tasks.
     """
+    if variant not in ("doubling", "propagation"):
+        raise ValueError(f"unknown CC variant {variant!r}")
     spark = edges.sparkSession
     n_edges = edges.count()
     n_parts = max(1, min(64, n_edges // 100_000))
@@ -65,14 +88,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .localCheckpoint()
         )
 
+        rounds = 0
         for _ in range(max_iter):
+            rounds += 1
             # min label among each node's neighbours
             neighbour_min = (
                 sym.join(labels, sym.dst == labels.node, "inner")
                 .groupBy(sym.src.alias("node2"))
                 .agg(F.min_by("label", _entity_key(F.col("label"))).alias("nmin"))
             )
-            updated = (
+            prop = (
                 labels.join(neighbour_min, labels.node == F.col("node2"), "left")
                 .select(
                     "node",
@@ -85,14 +110,43 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                      & (_entity_key(F.col("nmin")) < _entity_key(F.col("label")))
                      ).alias("changed"),
                 )
-                .localCheckpoint()
             )
+            if variant == "doubling":
+                # pointer jump: label(v) <- label(label(v)).  Labels are
+                # monotone non-increasing and every label value IS a
+                # node, so the inner self-join matches exactly once and
+                # b's label can only be <= a's (take it unconditionally;
+                # 'changed' tracks propagation OR shortcutting)
+                j = prop.select("node", "label", "changed")
+                jumped = (
+                    j.alias("a")
+                    .join(
+                        j.select(
+                            F.col("node").alias("jn"),
+                            F.col("label").alias("jl"),
+                        ),
+                        F.col("a.label") == F.col("jn"),
+                        "inner",
+                    )
+                    .select(
+                        F.col("a.node").alias("node"),
+                        F.col("jl").alias("label"),
+                        (F.col("a.changed")
+                         | (_entity_key(F.col("jl"))
+                            < _entity_key(F.col("a.label")))).alias("changed"),
+                    )
+                )
+                updated = jumped.localCheckpoint()
+            else:
+                updated = prop.localCheckpoint()
             n_changed = updated.filter("changed").count()
             labels = updated.select("node", "label")
             if n_changed == 0:
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    if stats is not None:
+        stats["rounds"] = rounds
 
     return labels.select(
         F.col("node").alias("entity_id"), F.col("label").alias("canonical_id")

@@ -1,0 +1,65 @@
+"""Connected components (J3): the pointer-jumping ('doubling') variant
+must agree with plain propagation and reach the fixpoint in O(log n)
+rounds on a chain — the shape where plain propagation needs n rounds."""
+
+from __future__ import annotations
+
+import math
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(f"Q{a}", f"Q{b}") for a, b in pairs], "src string, dst string"
+    )
+
+
+class TestVariantsAgree:
+    def test_doubling_equals_propagation(self, spark):
+        from kgkit.operators.canonicalize import connected_components
+
+        # two components + a 2-cycle + an isolated edge, shuffled order
+        pairs = [(5, 3), (3, 9), (12, 14), (14, 12), (7, 20), (20, 21)]
+        want = {
+            r["entity_id"]: r["canonical_id"]
+            for r in connected_components(
+                _edges(spark, pairs), variant="propagation"
+            ).collect()
+        }
+        got = {
+            r["entity_id"]: r["canonical_id"]
+            for r in connected_components(
+                _edges(spark, pairs), variant="doubling"
+            ).collect()
+        }
+        assert got == want
+        assert got["Q9"] == "Q3" and got["Q14"] == "Q12" and got["Q21"] == "Q7"
+
+    def test_unknown_variant_rejected(self, spark):
+        import pytest
+
+        from kgkit.operators.canonicalize import connected_components
+
+        with pytest.raises(ValueError, match="variant"):
+            connected_components(_edges(spark, [(1, 2)]), variant="magic")
+
+
+class TestChainConvergence:
+    def test_10k_path_converges_in_log_rounds(self, spark):
+        from kgkit.operators.canonicalize import connected_components
+
+        n = 10_000
+        stats = {}
+        comp = connected_components(
+            _edges(spark, [(i, i + 1) for i in range(1, n)]),
+            variant="doubling", stats=stats,
+        )
+        sample = {
+            r["entity_id"]: r["canonical_id"]
+            for r in comp.filter(
+                f"entity_id in ('Q1', 'Q2', 'Q{n//2}', 'Q{n}')"
+            ).collect()
+        }
+        assert set(sample.values()) == {"Q1"}, sample
+        # distance to the minimum shrinks multiplicatively per round:
+        # the fixpoint must land within log2(n) + a small constant
+        assert stats["rounds"] <= math.ceil(math.log2(n)) + 6, stats
