@@ -31,7 +31,13 @@ from kgkit.ner_core.spans import (
 )
 from kgkit.ner_core.pretokenize import pretokenize
 from kgkit.ner_core.text_codec import TextCodec
-from kgkit.ner_core.wordpiece import WordPieceTokenizer, default_tokenizer
+from kgkit.ner_core.wordpiece import (
+    SentencePieceTokenizer,
+    WordPieceTokenizer,
+    default_sp_tokenizer,
+    default_tokenizer,
+    group_subtokens,
+)
 from kgkit.ner_core.tagger import GazetteerTagger, default_gazetteer
 from kgkit.ner_core.pipeline import predict
 
@@ -58,6 +64,9 @@ __all__ = [
     "TextCodec",
     "WordPieceTokenizer",
     "default_tokenizer",
+    "SentencePieceTokenizer",
+    "default_sp_tokenizer",
+    "group_subtokens",
     "GazetteerTagger",
     "default_gazetteer",
     "predict",

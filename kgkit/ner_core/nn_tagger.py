@@ -130,32 +130,32 @@ class NumpyTagger:
         return vec
 
     @staticmethod
-    def _words_of_slice(subtokens: Sequence[str]) -> Tuple[List[str], List[int]]:
-        """Reconstruct words from '##' continuations; -1 marks specials
-        (same grouping as GazetteerTagger.tag_slice)."""
-        words: List[str] = []
-        word_of: List[int] = []
-        for tok in subtokens:
-            if tok in (CLS, SEP, PAD):
-                word_of.append(-1)
-            elif tok.startswith("##") and words:
-                words[-1] += tok[2:]
-                word_of.append(len(words) - 1)
-            else:
-                words.append(UNK if tok == UNK else tok)
-                word_of.append(len(words) - 1)
-        return words, word_of
+    def _words_of_slice(
+        subtokens: Sequence[str], tokenizer_type: str = "WordPiece"
+    ) -> Tuple[List[str], List[int]]:
+        """Reconstruct words under either piece convention; -1 marks
+        specials (the shared grouping of wordpiece.group_subtokens —
+        same words as GazetteerTagger.tag_slice by construction)."""
+        from kgkit.ner_core.wordpiece import group_subtokens
+
+        return group_subtokens(subtokens, tokenizer_type)
 
     # -- M1: forward pass --------------------------------------------------
-    def forward(self, slices: Sequence[Sequence[str]]) -> np.ndarray:
+    def forward(
+        self,
+        slices: Sequence[Sequence[str]],
+        tokenizer_type: str = "WordPiece",
+    ) -> np.ndarray:
         """slices of subtokens -> logits [n_slices, seq_length, num_labels]
         (the shape contract of api/model.py:472-475).  One batched matmul;
-        python only assembles integer feature lookups."""
+        python only assembles integer feature lookups.  Features are
+        word-keyed, so either piece convention yields the same logits
+        for the same text."""
         n = len(slices)
         seq = max((len(s) for s in slices), default=0)
         X = np.zeros((n, seq, 3 * EMB_DIM), dtype=np.float32)
         for si, subtokens in enumerate(slices):
-            words, word_of = self._words_of_slice(subtokens)
+            words, word_of = self._words_of_slice(subtokens, tokenizer_type)
             lowered = [w.lower() for w in words]
             for pos, wi in enumerate(word_of):
                 if wi < 0:
@@ -200,7 +200,7 @@ class NumpyTagger:
     @staticmethod
     def _content_len(subtokens: Sequence[str]) -> int:
         n = len(subtokens)
-        while n > 0 and subtokens[n - 1] == PAD:
+        while n > 0 and subtokens[n - 1] in (PAD, "<pad>"):
             n -= 1
         return n
 
@@ -215,14 +215,22 @@ class NumpyTagger:
             self._pad_dist_cache = cached
         return cached
 
-    def tag_slice(self, subtokens: Sequence[str]) -> List[str]:
+    def tag_slice(
+        self, subtokens: Sequence[str], tokenizer_type: str = "WordPiece"
+    ) -> List[str]:
         n = self._content_len(subtokens)
-        tags = self.decode_argmax(self.forward([subtokens[:n]]))[0][:n]
+        tags = self.decode_argmax(
+            self.forward([subtokens[:n]], tokenizer_type)
+        )[0][:n]
         return tags + ["O"] * (len(subtokens) - n)
 
-    def tag_slice_proba(self, subtokens: Sequence[str]) -> List[Dict[str, float]]:
+    def tag_slice_proba(
+        self, subtokens: Sequence[str], tokenizer_type: str = "WordPiece"
+    ) -> List[Dict[str, float]]:
         n = self._content_len(subtokens)
-        out = self.decode_proba(self.forward([subtokens[:n]]))[0][:n]
+        out = self.decode_proba(
+            self.forward([subtokens[:n]], tokenizer_type)
+        )[0][:n]
         return out + [self._pad_dist()] * (len(subtokens) - n)
 
 

@@ -69,7 +69,9 @@ def predict(
     results: List[List[Dict[str, str]]] = []
     for i, words in enumerate(words_per_doc):
         slices = tokenizer.encode_words(words, pad=False)
-        slice_tags = [tagger.tag_slice(s) for s in slices]
+        slice_tags = [
+            tagger.tag_slice(s, tokenizer.tokenizer_type) for s in slices
+        ]
         tokens = spans.merge_slices(slices)
         preds = spans.merge_slices(slice_tags)
 
@@ -138,7 +140,9 @@ def predict_proba(
     results: List[List[Dict[str, str]]] = []
     for i, words in enumerate(words_per_doc):
         slices = tokenizer.encode_words(words, pad=False)
-        slice_probas = [tagger.tag_slice_proba(s) for s in slices]
+        slice_probas = [
+            tagger.tag_slice_proba(s, tokenizer.tokenizer_type) for s in slices
+        ]
         tokens = spans.merge_slices(slices)
         probas = spans.merge_slices(slice_probas)
 

@@ -44,21 +44,16 @@ class GazetteerTagger:
         self.gazetteer = dict(gazetteer) if gazetteer is not None else dict(DEFAULT_GAZETTEER)
         self.max_phrase_len = max((len(k) for k in self.gazetteer), default=1)
 
-    def tag_slice(self, subtokens: Sequence[str]) -> List[str]:
-        """Per-subtoken tags for one [CLS]...[SEP][PAD]* slice."""
-        # group subtokens into words: a word starts at a non-'##' piece
-        words: List[str] = []
-        word_of_subtoken: List[int] = []  # subtoken index -> word index (-1 special)
-        for tok in subtokens:
-            if tok in (CLS, SEP, PAD):
-                word_of_subtoken.append(-1)
-            elif tok.startswith("##") and words:
-                words[-1] += tok[2:]
-                word_of_subtoken.append(len(words) - 1)
-            else:
-                words.append(UNK if tok == UNK else tok)
-                word_of_subtoken.append(len(words) - 1)
+    def tag_slice(
+        self, subtokens: Sequence[str], tokenizer_type: str = "WordPiece"
+    ) -> List[str]:
+        """Per-subtoken tags for one framed slice — words reconstructed
+        by the shared grouping (wordpiece.group_subtokens), so either
+        piece convention ('##' continuations or 'Ġ' word starts) yields
+        the same word stream and therefore the same tags."""
+        from kgkit.ner_core.wordpiece import group_subtokens
 
+        words, word_of_subtoken = group_subtokens(subtokens, tokenizer_type)
         word_tags = self._tag_words(words)
 
         return [
@@ -95,7 +90,9 @@ class GazetteerTagger:
         plain = sorted({t for t in self.gazetteer.values()})
         return ["O"] + [f"{p}-{c}" for p in ("B", "I") for c in plain]
 
-    def tag_slice_proba(self, subtokens: Sequence[str]) -> List[Dict[str, float]]:
+    def tag_slice_proba(
+        self, subtokens: Sequence[str], tokenizer_type: str = "WordPiece"
+    ) -> List[Dict[str, float]]:
         """Per-subtoken probability distributions (M3 stand-in for the
         reference's softmax decode, api/model.py:1161-1186): the chosen
         tag gets 0.82, the rest share the remainder uniformly —
@@ -103,7 +100,7 @@ class GazetteerTagger:
         classes = self.annotation_classes
         rest = round(0.18 / (len(classes) - 1), 6)
         out = []
-        for tag in self.tag_slice(subtokens):
+        for tag in self.tag_slice(subtokens, tokenizer_type):
             out.append({c: (0.82 if c == tag else rest) for c in classes})
         return out
 

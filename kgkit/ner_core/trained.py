@@ -116,15 +116,21 @@ class TrainedTagger:
         return vec
 
     # -- M1: forward pass --------------------------------------------------
-    def forward(self, slices: Sequence[Sequence[str]]) -> np.ndarray:
+    def forward(
+        self,
+        slices: Sequence[Sequence[str]],
+        tokenizer_type: str = "WordPiece",
+    ) -> np.ndarray:
         """subtoken slices -> logits [n_slices, seq, num_labels]; one
         batched float32 matmul, exact on the 1/Q grid (module
-        docstring)."""
+        docstring).  Features are word-keyed (the shared grouping
+        handles either piece convention), so the SQL oracle's
+        word-level forward pass is convention-independent."""
         n = len(slices)
         seq = max((len(s) for s in slices), default=0)
         X = np.zeros((n, seq, 3 * EMB_DIM), dtype=np.float32)
         for si, subtokens in enumerate(slices):
-            words, word_of = NumpyTagger._words_of_slice(subtokens)
+            words, word_of = NumpyTagger._words_of_slice(subtokens, tokenizer_type)
             lowered = [w.lower() for w in words]
             for pos, wi in enumerate(word_of):
                 if wi < 0:

@@ -60,14 +60,28 @@ def _resolve_tagger(model: str):
     return default_gazetteer()
 
 
-def _detect_batches_for(model: str):
+def _resolve_tokenizer(name: str):
+    """Executor-local tokenizer resolution by NAME: 'wordpiece' (##
+    continuations, [CLS]/[SEP]/[PAD]) or 'sentencepiece' (Ġ word
+    starts, <s>/</s>/<pad> — api/model.py:1243-1254)."""
+    if name == "sentencepiece":
+        from kgkit.ner_core.wordpiece import default_sp_tokenizer
+
+        return default_sp_tokenizer()
+    if name == "wordpiece":
+        from kgkit.ner_core.wordpiece import default_tokenizer
+
+        return default_tokenizer()
+    raise ValueError(f"unknown tokenizer {name!r}")
+
+
+def _detect_batches_for(model: str, tokenizer_name: str = "wordpiece"):
     def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # import inside the worker so the UDF pickles by reference only
         from kgkit.ner_core import predict
         from kgkit.ner_core.trained import TrainedTagger, assert_oracle_bounds
-        from kgkit.ner_core.wordpiece import default_tokenizer
 
-        tokenizer = default_tokenizer()   # executor-local singletons
+        tokenizer = _resolve_tokenizer(tokenizer_name)  # worker singletons
         tagger = _resolve_tagger(model)
 
         for pdf in batches:
@@ -100,11 +114,23 @@ def _detect_batches_for(model: str):
     return _detect_batches
 
 
-def detect_mentions(pages: DataFrame, model: str = "gazetteer") -> DataFrame:
+def detect_mentions(
+    pages: DataFrame,
+    model: str = "gazetteer",
+    tokenizer: str = "wordpiece",
+) -> DataFrame:
     """pages(url, text, ...) -> mentions(url, mention_id, char_start,
-    char_end, surface, tag), one row per extracted entity."""
+    char_end, surface, tag), one row per extracted entity.
+
+    ``tokenizer='sentencepiece'`` runs the whole T1-W8 lifecycle over
+    the Ġ-convention twin; the extracted mentions are byte-identical to
+    the WordPiece run for any text BOTH tokenizers can spell to the
+    same [UNK] boundaries (true by construction for the default vocab
+    pair), which is what the kg_mentions_sp oracle checks."""
     narrow = pages.select("url", "text")
-    return narrow.mapInPandas(_detect_batches_for(model), schema=MENTIONS_SCHEMA)
+    return narrow.mapInPandas(
+        _detect_batches_for(model, tokenizer), schema=MENTIONS_SCHEMA
+    )
 
 
 def _word_proba_rows(pages: DataFrame, model: str, classes) -> DataFrame:

@@ -612,6 +612,16 @@ ORACLES = {
         WITH {MENTIONS_CTE}
         SELECT url, mention_id, char_start, char_end, surface, tag FROM mentions
     """,
+    # the SentencePiece (Ġ-convention) run must extract byte-identical
+    # mentions: the oracle IS the word-level mention SQL — tokenization
+    # is an implementation detail the pipeline must fully undo (slice ->
+    # Ġ-merge -> [UNK] restore -> entity merge), and this row proves the
+    # Ġ path undoes it as exactly as the '##' path does, corpus-wide
+    # including the planted OOV/CJK/emoji pages
+    "kg_mentions_sp": f"""
+        WITH {MENTIONS_CTE}
+        SELECT url, mention_id, char_start, char_end, surface, tag FROM mentions
+    """,
     # M1/M2 + full W1-W8 lifecycle on the TRAINED head: the oracle
     # recomputes embedding-lookup -> matmul -> argmax -> autocorrect ->
     # entity merge relationally from the same packaged checkpoint —

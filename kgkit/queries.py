@@ -72,6 +72,25 @@ def _mentions_nn_q(spark, sf_dir):
     )
 
 
+def _mentions_sp_q(spark, sf_dir):
+    """Full mention pipeline over the SentencePiece-convention
+    tokenizer twin (Ġ word-start markers, <s>/</s>/<pad> framing,
+    api/model.py:1243-1254 + token_tags.py:334-352): T1 slicing, W1
+    subtoken merge under the Ġ rule, W2 [UNK] restore, W5-W8.  The
+    oracle is the word-level mention SQL — the extracted mentions must
+    be BYTE-IDENTICAL to the WordPiece run, proving tokenization is an
+    implementation detail the pipeline fully undoes for either
+    convention."""
+    m = detect_mentions(_pages(spark, sf_dir), tokenizer="sentencepiece")
+    return m.select(
+        "url",
+        F.col("mention_id").cast("long").alias("mention_id"),
+        F.col("char_start").cast("long").alias("char_start"),
+        F.col("char_end").cast("long").alias("char_end"),
+        "surface", "tag",
+    )
+
+
 def _predict_proba_nn_q(spark, sf_dir):
     """M3 softmax probabilities from the TRAINED head's logits,
     exploded to (url, pos, cls, proba); the DuckDB oracle recomputes
@@ -772,6 +791,7 @@ def _q10_q(spark, sf_dir):
 
 QUERIES = {
     "kg_mentions": _mentions_q,
+    "kg_mentions_sp": _mentions_sp_q,
     "kg_mentions_nn": _mentions_nn_q,
     "predict_proba_nn": _predict_proba_nn_q,
     "predict_proba_nn_map": _predict_proba_nn_map_q,

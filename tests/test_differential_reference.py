@@ -204,3 +204,54 @@ class TestTokenTagsDifferential:
             want = tt.as_list()
             got = unpretokenize([dict(r) for r in recs], list(offsets))
             assert got == want
+
+
+class TestSentencePieceDifferential:
+    """Ġ-convention paths vs the reference's own code."""
+
+    def test_fuzz_strip_marker_vs_correct_sentence_piece_tokens(self, ref):
+        """W7: our strip_sentencepiece_marker == the reference's
+        TokenTags.correct_sentence_piece_tokens on random records with
+        and without Ġ markers (token_tags.py:334-352)."""
+        from kgkit.ner_core import strip_sentencepiece_marker
+
+        rng = random.Random(99)
+        words = ["Ġspark", "spark", "Ġjoin", "scan", "Ġtables", "a"]
+        for trial in range(400):
+            recs, pos = [], 0
+            for _ in range(rng.randint(1, 8)):
+                w = rng.choice(words)
+                recs.append({
+                    "char_start": str(pos), "char_end": str(pos + len(w)),
+                    "token": w,
+                    "tag": rng.choice(["O", "B-ORG", "I-ORG"]),
+                })
+                pos += len(w) + 1
+            tt = ref.TokenTags([dict(r) for r in recs], scheme="bio", level="token")
+            tt.correct_sentence_piece_tokens()
+            want = tt.as_list()
+            got = strip_sentencepiece_marker([dict(r) for r in recs])
+            assert got == want, f"trial {trial}: {recs}"
+
+    def test_fuzz_sp_pipeline_equals_wordpiece(self):
+        """End-to-end: the Ġ-convention tokenizer twin must extract
+        byte-identical records to the WordPiece run on random texts
+        mixing vocabulary words, OOV ASCII, CJK and emoji — the same
+        invariance the kg_mentions_sp oracle checks corpus-wide."""
+        from kgkit.ner_core.pipeline import predict
+        from kgkit.ner_core.wordpiece import default_sp_tokenizer
+
+        rng = random.Random(4242)
+        pool = ["spark", "hash", "join", "customer", "zzqx", "naïve",
+                "日本", "🎉", "table", "scan", "x" * 30, "a-b.c"]
+        texts = [
+            " ".join(rng.choice(pool) for _ in range(rng.randint(1, 12)))
+            for _ in range(120)
+        ]
+        wp = predict(texts, level="entity", autocorrect=True)
+        sp = predict(texts, level="entity", autocorrect=True,
+                     tokenizer=default_sp_tokenizer())
+        assert wp == sp
+        for t, recs in zip(texts, sp):
+            for r in recs:
+                assert t[int(r["char_start"]):int(r["char_end"])] == r["token"]
