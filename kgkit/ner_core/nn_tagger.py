@@ -207,8 +207,9 @@ class NumpyTagger:
     def _pad_dist(self) -> Dict[str, float]:
         cached = getattr(self, "_pad_dist_cache", None)
         if cached is None:
-            z = (np.zeros((1, 1, 3 * EMB_DIM), dtype=np.float32)
-                 .reshape(1, 3 * EMB_DIM) @ self.W + self.b)
+            z = (np.zeros((1, self.W.shape[0]), dtype=np.float32)
+                 @ self.W + self.b)  # width from W: trained head has
+            # one more (trigram) channel than the distilled model
             cached = self.decode_proba(
                 z.reshape(1, 1, len(self.annotation_classes))
             )[0][0]

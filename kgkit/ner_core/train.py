@@ -26,7 +26,7 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from kgkit.ner_core.tagger import DEFAULT_GAZETTEER, GazetteerTagger
-from kgkit.ner_core.trained import EMB_DIM, Q, TrainedTagger, embed_key
+from kgkit.ner_core.trained import EMB_DIM, N_CH, Q, TrainedTagger, embed_key
 
 # the pool of kgkit.sources.pages._WORDS — duplicated deliberately:
 # this module must stay Spark-free (it runs in plain pytest / CLI), and
@@ -102,15 +102,17 @@ def normalize_words(words: Sequence[str]) -> List[str]:
 
 def featurize_page(words: Sequence[str],
                    cache: Dict[str, np.ndarray]) -> np.ndarray:
-    """[len(words), 3*EMB_DIM] context features, '' at boundaries —
-    the same keys TrainedTagger.forward builds per subtoken."""
+    """[len(words), N_CH*EMB_DIM] context features, '' at boundaries —
+    the same keys TrainedTagger.forward builds per subtoken (bigram
+    channels, the unigram, and the trigram conjunction)."""
     lowered = normalize_words(words)
     n = len(lowered)
-    X = np.zeros((n, 3 * EMB_DIM), dtype=np.float64)
+    X = np.zeros((n, N_CH * EMB_DIM), dtype=np.float64)
     for i, w in enumerate(lowered):
         nxt = lowered[i + 1] if i + 1 < n else ""
         prv = lowered[i - 1] if i > 0 else ""
-        for ch, key in enumerate((f"{w}|{nxt}", f"{prv}|{w}", w)):
+        keys = (f"{w}|{nxt}", f"{prv}|{w}", w, f"{prv}|{w}|{nxt}")
+        for ch, key in enumerate(keys):
             vec = cache.get(key)
             if vec is None:
                 vec = cache[key] = embed_key(key).astype(np.float64)

@@ -12,17 +12,22 @@ checks the forward pass itself (embedding lookup -> matmul -> argmax /
 softmax re-computed relationally, kgkit/oracles.py trained CTEs).
 
 Architecture (identical feature definition in numpy and SQL):
-  * three context channels per word position — (word|next), (prev|word),
-    (word) — with '' at slice boundaries and '[unk]' for words the
-    WordPiece vocabulary cannot tokenize, exactly the view
-    ``_words_of_slice`` gives the distilled model;
+  * four context channels per word position — (word|next), (prev|word),
+    (word), and the trigram CONJUNCTION (prev|word|next) — with '' at
+    slice boundaries and '[unk]' for words the WordPiece vocabulary
+    cannot tokenize, exactly the view ``_words_of_slice`` gives the
+    distilled model.  The trigram channel is what makes the head more
+    than a sum of pairwise cues: a pattern that only holds when BOTH
+    neighbours match (e.g. X between two specific words) is linearly
+    representable through its hashed key, so the error profile is no
+    longer token-local;
   * FEATURE-HASHED sparse sign embeddings: key k activates N_HASH=4
     dims of an EMB_DIM=32-wide channel with ±1 signs, both derived from
     md5(k) hex bytes — md5 is the one hash Spark-side python and DuckDB
     evaluate identically, which is what makes the forward pass itself
     oracle-checkable (the distilled model's gaussian-noise embeddings
     were not);
-  * linear head logits = X @ W + b over the 3*EMB_DIM features.
+  * linear head logits = X @ W + b over the N_CH*EMB_DIM features.
 
 Exact cross-engine arithmetic: the trained weights are QUANTIZED to the
 1/1024 grid (W = Wq/1024 with integer Wq, |Wq| < 2^15).  Every entry of
@@ -45,14 +50,15 @@ import numpy as np
 
 from kgkit.ner_core.nn_tagger import NumpyTagger
 
-EMB_DIM = 32       # dims per channel; 3 channels -> 96 features
+EMB_DIM = 32       # dims per channel
+N_CH = 4           # (w|n), (p|w), (w), (p|w|n) -> 128 features
 N_HASH = 4         # active dims per feature key
 Q = 1024           # weight quantization grid (power of two: /Q is exact)
 
 _ODD_HEX = set("13579bdf")
 
 DEFAULT_CKPT = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "checkpoints", "trained_v1.npz"
+    os.path.dirname(os.path.abspath(__file__)), "checkpoints", "trained_v2.npz"
 )
 
 
@@ -89,7 +95,7 @@ class TrainedTagger:
     def __init__(self, W: np.ndarray, b: np.ndarray, classes: Sequence[str]):
         W = np.asarray(W, dtype=np.float32)
         b = np.asarray(b, dtype=np.float32)
-        if W.shape != (3 * EMB_DIM, len(classes)) or b.shape != (len(classes),):
+        if W.shape != (N_CH * EMB_DIM, len(classes)) or b.shape != (len(classes),):
             raise ValueError(f"bad trained head shapes {W.shape} / {b.shape}")
         Wq = W * Q
         bq = b * Q
@@ -128,7 +134,7 @@ class TrainedTagger:
         word-level forward pass is convention-independent."""
         n = len(slices)
         seq = max((len(s) for s in slices), default=0)
-        X = np.zeros((n, seq, 3 * EMB_DIM), dtype=np.float32)
+        X = np.zeros((n, seq, N_CH * EMB_DIM), dtype=np.float32)
         for si, subtokens in enumerate(slices):
             words, word_of = NumpyTagger._words_of_slice(subtokens, tokenizer_type)
             lowered = [w.lower() for w in words]
@@ -140,8 +146,9 @@ class TrainedTagger:
                 prv = lowered[wi - 1] if wi > 0 else ""
                 X[si, pos, 0:EMB_DIM] = self._embed(f"{w}|{nxt}")
                 X[si, pos, EMB_DIM:2 * EMB_DIM] = self._embed(f"{prv}|{w}")
-                X[si, pos, 2 * EMB_DIM:] = self._embed(w)
-        logits = X.reshape(n * seq, 3 * EMB_DIM) @ self.W + self.b
+                X[si, pos, 2 * EMB_DIM:3 * EMB_DIM] = self._embed(w)
+                X[si, pos, 3 * EMB_DIM:] = self._embed(f"{prv}|{w}|{nxt}")
+        logits = X.reshape(n * seq, N_CH * EMB_DIM) @ self.W + self.b
         return logits.reshape(n, seq, len(self.annotation_classes))
 
     # -- M2/M3 decode: identical semantics to the distilled model ----------
@@ -161,6 +168,7 @@ class TrainedTagger:
             b=self.b,
             classes=np.array(self.annotation_classes),
             emb_dim=np.int64(EMB_DIM),
+            n_ch=np.int64(N_CH),
             n_hash=np.int64(N_HASH),
             q=np.int64(Q),
         )
@@ -171,7 +179,7 @@ class TrainedTagger:
         if str(ckpt.get("kind", "")) != "trained":
             raise ValueError(f"{path} is not a trained-head checkpoint")
         if (int(ckpt["emb_dim"]) != EMB_DIM or int(ckpt["n_hash"]) != N_HASH
-                or int(ckpt["q"]) != Q):
+                or int(ckpt.get("n_ch", 3)) != N_CH or int(ckpt["q"]) != Q):
             raise ValueError(
                 f"checkpoint {path} was written for a different feature "
                 "spec — retrain with tools/train_tagger.py"

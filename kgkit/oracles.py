@@ -214,6 +214,9 @@ tfeats AS (
     SELECT doc_id, pos, 1 AS ch, pk || '|' || wk AS key FROM tkeys
     UNION ALL
     SELECT doc_id, pos, 2 AS ch, wk AS key FROM tkeys
+    UNION ALL
+    -- trigram conjunction channel (trained.py N_CH=4)
+    SELECT doc_id, pos, 3 AS ch, pk || '|' || wk || '|' || nk AS key FROM tkeys
 ),
 tcontrib AS (
     SELECT doc_id, pos,
