@@ -108,9 +108,12 @@ def normalized_deltas(timings, control, prev_path=None):
         prev_path = cands[-1]
     try:
         with open(prev_path) as fh:
-            prev = json.loads(fh.read().strip().splitlines()[-1])
-    except (OSError, ValueError, IndexError):
+            prev = json.load(fh)
+    except (OSError, ValueError):
         return {}
+    # the driver's BENCH_r{N}.json wraps bench.py's line as {"parsed": …}
+    if isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
     prev_control = prev.get("host_control_docs_per_sec")
     prev_q = prev.get("queries", {})
     if not prev_control or not prev_q:

@@ -15,7 +15,7 @@ changed-row count.
 
 Two variants:
 
-  * ``variant='doubling'`` (default): each round ALSO pointer-jumps
+  * ``variant='doubling'``: each round ALSO pointer-jumps
     ``label(v) <- label(label(v))`` — the shortcutting step of
     large-star/small-star-family CC algorithms (Kiveris et al.,
     "Connected Components in MapReduce and Beyond"; hash-to-min of
@@ -28,6 +28,10 @@ Two variants:
   * ``variant='propagation'``: plain min-label propagation,
     <= diameter rounds — one fewer join per round, fine for the
     shallow alias graph.
+  * ``variant='adaptive'`` (default): propagation for the first
+    ``jump_after`` rounds, jumps from then on — a shallow graph (the
+    alias dictionary converges in <= 3 rounds) never pays the extra
+    join, a deep chain still finishes in jump_after + O(log n) rounds.
 """
 
 from __future__ import annotations
@@ -44,8 +48,9 @@ def _entity_key(col):
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
-    variant: str = "doubling",
+    variant: str = "adaptive",
     stats: dict = None,
+    jump_after: int = 3,
 ) -> DataFrame:
     """edges(src, dst) undirected -> components(entity_id, canonical_id).
 
@@ -61,7 +66,7 @@ def connected_components(
     shuffle partitions dominated the whole pipeline's wall clock).
     ~100k edges per partition keeps each iteration a handful of tasks.
     """
-    if variant not in ("doubling", "propagation"):
+    if variant not in ("doubling", "propagation", "adaptive"):
         raise ValueError(f"unknown CC variant {variant!r}")
     spark = edges.sparkSession
     n_edges = edges.count()
@@ -111,7 +116,10 @@ def connected_components(
                      ).alias("changed"),
                 )
             )
-            if variant == "doubling":
+            jump = variant == "doubling" or (
+                variant == "adaptive" and rounds > jump_after
+            )
+            if jump:
                 # pointer jump: label(v) <- label(label(v)).  Labels are
                 # monotone non-increasing and every label value IS a
                 # node, so the inner self-join matches exactly once and

@@ -63,3 +63,35 @@ class TestChainConvergence:
         # distance to the minimum shrinks multiplicatively per round:
         # the fixpoint must land within log2(n) + a small constant
         assert stats["rounds"] <= math.ceil(math.log2(n)) + 6, stats
+
+
+class TestAdaptiveVariant:
+    def test_adaptive_matches_and_converges_fast_on_chain(self, spark):
+        """Default variant: a 2k chain still lands in jump_after +
+        O(log n) rounds, and components match propagation."""
+        from kgkit.operators.canonicalize import connected_components
+
+        n = 2_000
+        stats = {}
+        comp = connected_components(
+            _edges(spark, [(i, i + 1) for i in range(1, n)]),
+            variant="adaptive", stats=stats,
+        )
+        got = {r["entity_id"]: r["canonical_id"]
+               for r in comp.filter(f"entity_id in ('Q{n}')").collect()}
+        assert got == {f"Q{n}": "Q1"}
+        assert stats["rounds"] <= 3 + math.ceil(math.log2(n)) + 6, stats
+
+    def test_adaptive_shallow_graph_pays_no_jump(self, spark):
+        """A graph that converges within jump_after rounds runs as plain
+        propagation (same round count)."""
+        from kgkit.operators.canonicalize import connected_components
+
+        pairs = [(5, 3), (3, 9), (12, 14)]
+        sa, sp = {}, {}
+        a = connected_components(_edges(spark, pairs), variant="adaptive",
+                                 stats=sa).collect()
+        p = connected_components(_edges(spark, pairs), variant="propagation",
+                                 stats=sp).collect()
+        assert {tuple(r) for r in a} == {tuple(r) for r in p}
+        assert sa["rounds"] == sp["rounds"] <= 3
