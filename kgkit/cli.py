@@ -1,0 +1,129 @@
+"""Command-line interface of the kgkit package (`python -m kgkit …`).
+
+The reference ships a thin click group (`nerblackbox` —
+/root/reference/nerblackbox/cli.py:21-47) whose commands launch result
+browsers (mlflow/tensorboard) over the store directory.  kgkit's
+results browser is the `_lineage` parquet a pipeline run writes (SURVEY
+§2.2 K5), so the equivalent surface is stdlib argparse over the
+engine's own entry points — no click dependency:
+
+    python -m kgkit predict "the spark hash join" [--level entity|word]
+    python -m kgkit run-pipeline --pages SF_DIR --out RUN_DIR [...]
+    python -m kgkit evaluate [--sf-dir DIR]          # A9 fan-out table
+    python -m kgkit lineage RUN_DIR                  # the results browser
+
+`predict` mirrors Model.predict's CLI ergonomics (JSON records per
+input text) and runs pure-python (no Spark session); the Spark-backed
+commands build a local session unless spark-submit provides one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+
+def _spark(shuffle_partitions: int = 32):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("kgkit-cli")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_predict(args) -> int:
+    from kgkit.ner_core import predict
+
+    texts = list(args.text)
+    if not texts or texts == ["-"]:
+        texts = [line.rstrip("\n") for line in sys.stdin if line.strip()]
+    results = predict(
+        texts,
+        level=args.level,
+        autocorrect=not args.no_autocorrect,
+        is_pretokenized=args.pretokenized,
+    )
+    for text, records in zip(texts, results):
+        print(json.dumps({"text": text, "predictions": records},
+                         ensure_ascii=False))
+    return 0
+
+
+def cmd_run_pipeline(args) -> int:
+    from kgkit.plans.stages import run_kg_pipeline
+
+    spark = _spark(args.shuffle_partitions)
+    result = run_kg_pipeline(spark, args.pages, args.out,
+                             n_buckets=args.buckets)
+    print(json.dumps({
+        "out": args.out,
+        "n_triples": result["triples"].count(),
+        "stages": result["runner"].executed,
+    }))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    """A9 metric fan-out over the driver corpus — the evaluation table
+    the reference's evaluate_on_dataset prints, as JSON rows."""
+    from kgkit.queries import QUERIES
+
+    spark = _spark(args.shuffle_partitions)
+    rows = QUERIES["eval_fanout"](spark, args.sf_dir).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), ensure_ascii=False))
+    return 0
+
+
+def cmd_lineage(args) -> int:
+    """Results browser: print the `_lineage` rows of a pipeline run
+    (the kgkit stand-in for the reference's mlflow UI launcher)."""
+    spark = _spark(8)
+    path = f"{args.run_dir}/_lineage"
+    for r in spark.read.parquet(path).orderBy("ts").collect():
+        print(json.dumps(r.asDict(), ensure_ascii=False, default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="kgkit")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("predict", help="NER records for input texts (no Spark)")
+    p.add_argument("text", nargs="*", help="input texts ('-' or empty = stdin lines)")
+    p.add_argument("--level", choices=("entity", "word"), default="entity")
+    p.add_argument("--no-autocorrect", action="store_true")
+    p.add_argument("--pretokenized", action="store_true")
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("run-pipeline", help="4-stage KG pipeline with resume")
+    p.add_argument("--pages", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.set_defaults(fn=cmd_run_pipeline)
+
+    p = sub.add_parser("evaluate", help="A9 metric fan-out as JSON rows")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("lineage", help="print a run's _lineage rows")
+    p.add_argument("run_dir")
+    p.set_defaults(fn=cmd_lineage)
+    return ap
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
