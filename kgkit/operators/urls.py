@@ -1,0 +1,211 @@
+"""URL canonicalization + crawl-politeness operators (crawl hygiene).
+
+A recrawl pipeline over web pages dedups URL variants before it dedups
+content: scheme/host case, default ports, fragments, tracking
+parameters, and query-parameter order all produce distinct strings for
+the same resource.  ``canonical_url_col`` normalizes all of that as ONE
+JVM-side column expression (parse_url + regexp + sort_array — no
+python in the hot path, codegen-friendly at any scale); the pure-python
+twin ``canonicalize_url`` is the unit-testable spec.
+
+``RobotsRules`` parses robots.txt bodies (the subset every crawler
+implements: User-agent groups, Allow/Disallow with longest-match
+precedence, '*' wildcards, '$' anchors) and ``sitemap_locs_col``
+extracts <loc> entries from sitemap XML — both operate on text already
+fetched into a DataFrame column (fetching itself is env-blocked, like
+S5).
+
+These are registry-slot-free by design: the driver's correctness gate
+caps at 50 queries (kgkit/queries.py), so this family is pinned by
+unit + Spark-fixture tests (tests/test_urls.py) with the python spec
+as the oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+from urllib.parse import urlsplit
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# query parameters that never change the resource (tracking/session)
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "mc_eid", "ref", "sessionid", "phpsessid",
+)
+_TRACKING_RE = "|".join(TRACKING_PARAMS)
+
+
+# ---------------------------------------------------------------------------
+# pure-python spec (the unit-test oracle)
+# ---------------------------------------------------------------------------
+
+def canonicalize_url(url: str) -> Optional[str]:
+    """Canonical form: lowercase scheme+host, default port stripped,
+    fragment dropped, tracking params dropped, remaining query params
+    sorted, empty path -> '/'.  Returns None for non-http(s) URLs."""
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    port = parts.port
+    default = {"http": 80, "https": 443}[scheme]
+    netloc = host if port in (None, default) else f"{host}:{port}"
+    path = parts.path or "/"
+    params = [
+        p for p in parts.query.split("&")
+        if p and p.split("=")[0].lower() not in TRACKING_PARAMS
+    ]
+    query = "&".join(sorted(params))
+    return f"{scheme}://{netloc}{path}" + (f"?{query}" if query else "")
+
+
+# ---------------------------------------------------------------------------
+# JVM-side column expression (the scale path)
+# ---------------------------------------------------------------------------
+
+def canonical_url_col(url: Column) -> Column:
+    """``canonicalize_url`` as one codegen'd column expression.
+
+    Whole-stage-codegen friendly: parse_url/regexp/sort_array only, no
+    UDF — at 100 TB this runs inside the scan projection.  NULL for
+    non-http(s) inputs, matching the python spec."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    # try_parse_url: ANSI-mode parse_url THROWS on malformed input;
+    # the try_ variant yields NULL, which the final when() maps to the
+    # python spec's None
+    hostport = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    # parse_url(HOST) keeps no port; pull it separately
+    port = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/@?#]*:(\d+)", 1)
+    default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
+    netloc = F.when(
+        (port == "") | (port == default_port), hostport
+    ).otherwise(F.concat(hostport, F.lit(":"), port))
+    path = F.try_parse_url(u, F.lit("PATH"))
+    path = F.when((path.isNull()) | (path == ""), F.lit("/")).otherwise(path)
+    rawq = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(rawq, "&"),
+                lambda p: (p != "") & ~F.lower(p).rlike(
+                    f"^({_TRACKING_RE})(=|$)"
+                ),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme, F.lit("://"), netloc, path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+    return F.when(
+        scheme.isin("http", "https") & hostport.isNotNull() & (hostport != ""),
+        canon,
+    )
+
+
+def url_dedup_keys(df, url_col: str = "url"):
+    """(canonical_url, n_variants, variants) — the URL-level dedup pass
+    a recrawl runs before content dedup.  One groupBy on the canonical
+    key (map-side combine; no skew beyond genuinely popular resources)."""
+    return (
+        df.select(canonical_url_col(F.col(url_col)).alias("canonical_url"),
+                  F.col(url_col))
+        .filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.sort_array(F.collect_set(url_col)).alias("variants"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (politeness rules over fetched bodies)
+# ---------------------------------------------------------------------------
+
+class RobotsRules:
+    """Parsed robots.txt for one user-agent: Allow/Disallow with the
+    standard longest-match precedence (Allow wins ties), '*' wildcards
+    and '$' end anchors (the Google/RFC 9309 semantics)."""
+
+    def __init__(self, body: str, user_agent: str = "*"):
+        self.rules: List[Tuple[bool, str]] = []  # (allow, pattern)
+        ua = user_agent.lower()
+        groups: List[Tuple[List[str], List[Tuple[bool, str]]]] = []
+        agents: List[str] = []
+        rules: List[Tuple[bool, str]] = []
+        saw_rule = False
+        for raw in body.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if saw_rule:
+                    groups.append((agents, rules))
+                    agents, rules, saw_rule = [], [], False
+                agents.append(value.lower())
+            elif field in ("allow", "disallow") and value != "":
+                rules.append((field == "allow", value))
+                saw_rule = True
+            elif field == "disallow" and value == "":
+                saw_rule = True  # empty Disallow: allow all (no rule)
+        groups.append((agents, rules))
+        # most specific agent group wins; fall back to '*'
+        best_len = -1
+        for ags, rs in groups:
+            for a in ags:
+                if a == "*" and best_len < 0:
+                    self.rules = rs
+                elif a != "*" and a in ua and len(a) > best_len:
+                    best_len = len(a)
+                    self.rules = rs
+
+    @staticmethod
+    def _pattern_to_re(pat: str) -> str:
+        anchored = pat.endswith("$")
+        if anchored:
+            pat = pat[:-1]
+        rx = re.escape(pat).replace(r"\*", ".*")
+        return "^" + rx + ("$" if anchored else "")
+
+    def allowed(self, path: str) -> bool:
+        best: Tuple[int, bool] = (-1, True)  # (match length, allow)
+        for allow, pat in self.rules:
+            if re.match(self._pattern_to_re(pat), path):
+                # longest pattern wins; Allow wins exact ties
+                key = (len(pat), allow)
+                if key[0] > best[0] or (key[0] == best[0] and allow):
+                    best = key
+        return best[1]
+
+
+def robots_allowed(body: str, path: str, user_agent: str = "*") -> bool:
+    return RobotsRules(body, user_agent).allowed(path)
+
+
+# ---------------------------------------------------------------------------
+# sitemap extraction
+# ---------------------------------------------------------------------------
+
+def sitemap_locs_col(xml: Column) -> Column:
+    """array<string> of <loc> URLs in a sitemap body — one JVM regexp
+    pass (sitemaps are machine-generated; full XML parsing is not
+    needed to lift the loc list)."""
+    return F.transform(
+        F.regexp_extract_all(xml, F.lit(r"<loc>\s*([^<]*?)\s*</loc>"), F.lit(1)),
+        lambda s: F.trim(s),
+    )

@@ -1,0 +1,119 @@
+"""URL canonicalization / robots / sitemap (kgkit/operators/urls.py).
+
+The pure-python canonicalizer is the spec; the JVM column expression is
+differential-tested against it (registry-slot-free family — the driver
+gate caps at 50 queries, so parity lives here)."""
+
+from __future__ import annotations
+
+import pytest
+
+CASES = [
+    ("HTTP://Example.COM:80/a/b?z=1&a=2#frag", "http://example.com/a/b?a=2&z=1"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/p?utm_source=x&q=1&fbclid=zz", "http://example.com/p?q=1"),
+    ("http://example.com/p?utm_source=x", "http://example.com/p"),
+    ("http://example.com/p?b=2&a=1&a=0", "http://example.com/p?a=0&a=1&b=2"),
+    ("ftp://example.com/x", None),
+    ("not a url", None),
+]
+
+
+class TestCanonicalizePython:
+    @pytest.mark.parametrize("url,want", CASES)
+    def test_cases(self, url, want):
+        from kgkit.operators.urls import canonicalize_url
+
+        assert canonicalize_url(url) == want
+
+    def test_idempotent(self):
+        from kgkit.operators.urls import canonicalize_url
+
+        for url, want in CASES:
+            if want is not None:
+                assert canonicalize_url(want) == want
+
+
+class TestCanonicalColumnDifferential:
+    def test_matches_python_spec(self, spark):
+        from pyspark.sql import functions as F
+
+        from kgkit.operators.urls import canonical_url_col, canonicalize_url
+
+        urls = [u for u, _ in CASES] + [
+            "https://A.B.example.com/Path/Sub?Y=2&x=1&gclid=t",
+            "http://h.io:8080/q?ref=nav&k=v",
+            "https://h.io/no-query",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {
+            r["url"]: r["c"]
+            for r in df.select("url", canonical_url_col(F.col("url")).alias("c")).collect()
+        }
+        for u in urls:
+            assert got[u] == canonicalize_url(u), u
+
+    def test_url_dedup_keys_groups_variants(self, spark):
+        from kgkit.operators.urls import url_dedup_keys
+
+        df = spark.createDataFrame(
+            [("HTTP://E.com/a?utm_source=t&k=1",),
+             ("http://e.com:80/a?k=1",),
+             ("http://e.com/b",), ("mailto:x@y",)],
+            "url string",
+        )
+        rows = {r["canonical_url"]: r for r in url_dedup_keys(df).collect()}
+        assert rows["http://e.com/a?k=1"]["n_variants"] == 2
+        assert rows["http://e.com/b"]["n_variants"] == 1
+        assert len(rows) == 2  # the mailto row is dropped
+
+
+ROBOTS = """
+# crawl rules
+User-agent: *
+Disallow: /private/
+Allow: /private/ok.html
+Disallow: /*.pdf$
+
+User-agent: kgbot
+Disallow: /kg-only/
+"""
+
+
+class TestRobots:
+    def test_longest_match_and_allow_tiebreak(self):
+        from kgkit.operators.urls import robots_allowed
+
+        assert robots_allowed(ROBOTS, "/public/x")
+        assert not robots_allowed(ROBOTS, "/private/secret.html")
+        assert robots_allowed(ROBOTS, "/private/ok.html")
+        assert not robots_allowed(ROBOTS, "/docs/file.pdf")
+        assert robots_allowed(ROBOTS, "/docs/file.pdf.html")  # $ anchor
+
+    def test_specific_agent_group_wins(self):
+        from kgkit.operators.urls import robots_allowed
+
+        assert not robots_allowed(ROBOTS, "/kg-only/x", user_agent="kgbot/1.0")
+        # the kgbot group replaces (not extends) the * group
+        assert robots_allowed(ROBOTS, "/private/secret.html", user_agent="kgbot/1.0")
+        assert robots_allowed(ROBOTS, "/kg-only/x", user_agent="otherbot")
+
+    def test_empty_disallow_allows_all(self):
+        from kgkit.operators.urls import robots_allowed
+
+        assert robots_allowed("User-agent: *\nDisallow:\n", "/anything")
+
+
+class TestSitemap:
+    def test_loc_extraction(self, spark):
+        from pyspark.sql import functions as F
+
+        from kgkit.operators.urls import sitemap_locs_col
+
+        xml = ("<urlset><url><loc> https://e.com/a </loc></url>"
+               "<url><loc>https://e.com/b?x=1</loc></url></urlset>")
+        df = spark.createDataFrame([(xml,)], "body string")
+        [row] = df.select(sitemap_locs_col(F.col("body")).alias("locs")).collect()
+        assert row["locs"] == ["https://e.com/a", "https://e.com/b?x=1"]
