@@ -26,7 +26,14 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from kgkit.ner_core.tagger import DEFAULT_GAZETTEER, GazetteerTagger
-from kgkit.ner_core.trained import EMB_DIM, N_CH, Q, TrainedTagger, embed_key
+from kgkit.ner_core.trained import (
+    EMB_DIM,
+    N_CH,
+    N_HIDDEN,
+    Q,
+    TrainedTagger,
+    embed_key,
+)
 
 # the pool of kgkit.sources.pages._WORDS — duplicated deliberately:
 # this module must stay Spark-free (it runs in plain pytest / CLI), and
@@ -166,23 +173,79 @@ def fit_softmax_head(
 
 
 def quantize_head(W: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Snap to the 1/Q grid (float32-exact arithmetic precondition)."""
+    """Snap to the 1/Q grid (exact-arithmetic precondition)."""
     Wq = np.rint(W * Q)
     bq = np.rint(b * Q)
     assert np.abs(Wq).max() < 2 ** 15 and np.abs(bq).max() < 2 ** 15
-    return (Wq / Q).astype(np.float32), (bq / Q).astype(np.float32)
+    return Wq / Q, bq / Q
+
+
+def _det_init(rows: int, cols: int, scale: float = 0.25) -> np.ndarray:
+    """Deterministic dense init on the 1/Q grid from md5 bytes — no RNG
+    object, so the recipe is bit-reproducible on any machine (and the
+    hidden layer's symmetry is broken without a seed file).  Values are
+    uniform-ish in [-scale, scale]."""
+    import hashlib
+
+    out = np.empty((rows, cols), dtype=np.float64)
+    for i in range(rows):
+        h = hashlib.md5(f"mlp-init:{i}".encode()).digest()
+        # stretch one digest into cols values via int chunks
+        acc = int.from_bytes(h, "big")
+        for j in range(cols):
+            acc = (acc * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            out[i, j] = ((acc >> 16) % (2 * Q + 1)) - Q  # [-Q, Q]
+    return np.rint(out * scale) / Q  # on-grid, in [-scale, scale]
+
+
+def fit_mlp_head(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_classes: int,
+    hidden: int = N_HIDDEN,
+    iters: int = 600,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Full-batch two-layer (relu) softmax classifier, deterministic:
+    md5-derived W1 init (symmetry breaking without RNG state), zero
+    init elsewhere, fixed step count, float64 math."""
+    n, d = X.shape
+    W1 = _det_init(d, hidden)
+    b1 = np.zeros(hidden, dtype=np.float64)
+    W2 = np.zeros((hidden, n_classes), dtype=np.float64)
+    b2 = np.zeros(n_classes, dtype=np.float64)
+    Y = np.zeros((n, n_classes), dtype=np.float64)
+    Y[np.arange(n), y] = 1.0
+    for _ in range(iters):
+        Z1 = X @ W1 + b1
+        H = np.maximum(Z1, 0.0)
+        z = H @ W2 + b2
+        z -= z.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+        g = (p - Y) / n                      # [n, L]
+        gH = g @ W2.T                        # [n, hidden]
+        gZ1 = gH * (Z1 > 0)                  # relu mask
+        W2 -= lr * (H.T @ g + l2 * W2)
+        b2 -= lr * g.sum(axis=0)
+        W1 -= lr * (X.T @ gZ1 + l2 * W1)
+        b1 -= lr * gZ1.sum(axis=0)
+    return W1, b1, W2, b2
 
 
 def train_default_head(n_pages: int = 4000) -> TrainedTagger:
     """The packaged-checkpoint recipe: synthetic corpus + 30 copies of
-    the planted OOV pages, 400 GD steps, quantized."""
+    the planted OOV pages, 600 full-batch GD steps on the two-layer
+    head, all four weight arrays quantized to the 1/Q grid."""
     from kgkit.sources.planted import PLANTED_NER_TEXTS
 
     extra = [t.split(" ") for t in PLANTED_NER_TEXTS] * 30
     X, y, classes = training_set(n_pages, extra_pages=extra)
-    W, b = fit_softmax_head(X, y, len(classes))
-    Wf, bf = quantize_head(W, b)
-    return TrainedTagger(Wf, bf, classes)
+    W1, b1, W2, b2 = fit_mlp_head(X, y, len(classes))
+    W1q, b1q = quantize_head(W1, b1)
+    W2q, b2q = quantize_head(W2, b2)
+    return TrainedTagger(W1q, b1q, W2q, b2q, classes)
 
 
 def page_accuracy_and_divergence(
@@ -197,7 +260,8 @@ def page_accuracy_and_divergence(
     for words in pages:
         norm = normalize_words(words)
         want = np.array([cls_id[t] for t in gaz._tag_words(list(norm))])
-        z = featurize_page(words, cache).astype(np.float32) @ model.W + model.b
+        h = np.maximum(featurize_page(words, cache) @ model.W1 + model.b1, 0.0)
+        z = h @ model.W2 + model.b2
         got = z.argmax(axis=1)
         bad = int((got != want).sum())
         n_tok += len(words)

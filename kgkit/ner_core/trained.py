@@ -27,16 +27,22 @@ Architecture (identical feature definition in numpy and SQL):
     evaluate identically, which is what makes the forward pass itself
     oracle-checkable (the distilled model's gaussian-noise embeddings
     were not);
-  * linear head logits = X @ W + b over the N_CH*EMB_DIM features.
+  * a TWO-LAYER head (r4): z1 = X @ W1 + b1 -> h = relu(z1) ->
+    logits = h @ W2 + b2 over H=32 hidden units.  The nonlinearity is
+    what a linear head structurally lacks: hidden units fire on
+    CONJUNCTIONS of hashed context features and the second layer reads
+    them out, so the model is no longer a sum of per-feature votes.
 
-Exact cross-engine arithmetic: the trained weights are QUANTIZED to the
-1/1024 grid (W = Wq/1024 with integer Wq, |Wq| < 2^15).  Every entry of
-X is a small integer (sum of ±1 over <= N_HASH dims), so each product
-and every partial sum in the float32 matmul is an integer multiple of
-1/1024 below 2^24 — exactly representable, independent of summation
-order.  float32 logits are therefore bit-equal to the BIGINT arithmetic
-``(sum(sgn*Wq) + bq) / 1024`` the oracle runs, and argmax (numpy takes
-the FIRST maximal index == ORDER BY z DESC, cls_id ASC) matches
+Exact cross-engine arithmetic: all weights are QUANTIZED to 1/Q grids
+(Wq integer, |Wq| < 2^15).  Every entry of X is a small integer (sum of
+±1 over <= N_HASH dims), so z1 is an integer multiple of 1/Q below
+2^19; relu is exact on that grid (max with 0); h*W2 products are
+integer multiples of 1/Q^2 below 2^34 and their sums below 2^39 — all
+exactly representable in float64 (53-bit mantissa), independent of
+summation order.  The float64 logits are therefore bit-equal to the
+BIGINT arithmetic the oracle runs in units of 1/Q^2:
+``sum(max(h1_num, 0) * w2q) + b2q*Q``, and argmax (numpy takes the
+FIRST maximal index == ORDER BY z DESC, cls_id ASC) matches
 tie-for-tie.
 """
 
@@ -53,12 +59,14 @@ from kgkit.ner_core.nn_tagger import NumpyTagger
 EMB_DIM = 32       # dims per channel
 N_CH = 4           # (w|n), (p|w), (w), (p|w|n) -> 128 features
 N_HASH = 4         # active dims per feature key
+N_HIDDEN = 32      # relu units of the two-layer head
 Q = 1024           # weight quantization grid (power of two: /Q is exact)
+Z_GRID = Q * Q     # logits live on the 1/Q^2 grid (two quantized layers)
 
 _ODD_HEX = set("13579bdf")
 
 DEFAULT_CKPT = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "checkpoints", "trained_v2.npz"
+    os.path.dirname(os.path.abspath(__file__)), "checkpoints", "trained_v3.npz"
 )
 
 
@@ -92,21 +100,28 @@ class TrainedTagger:
     (tag_slice / tag_slice_proba / annotation_classes / forward /
     decode_argmax / decode_proba / id2label)."""
 
-    def __init__(self, W: np.ndarray, b: np.ndarray, classes: Sequence[str]):
-        W = np.asarray(W, dtype=np.float32)
-        b = np.asarray(b, dtype=np.float32)
-        if W.shape != (N_CH * EMB_DIM, len(classes)) or b.shape != (len(classes),):
-            raise ValueError(f"bad trained head shapes {W.shape} / {b.shape}")
-        Wq = W * Q
-        bq = b * Q
-        if not (np.array_equal(Wq, np.rint(Wq)) and np.array_equal(bq, np.rint(bq))
-                and np.abs(Wq).max() < 2 ** 15 and np.abs(bq).max() < 2 ** 15):
+    def __init__(self, W1: np.ndarray, b1: np.ndarray, W2: np.ndarray,
+                 b2: np.ndarray, classes: Sequence[str]):
+        W1 = np.asarray(W1, dtype=np.float64)
+        b1 = np.asarray(b1, dtype=np.float64)
+        W2 = np.asarray(W2, dtype=np.float64)
+        b2 = np.asarray(b2, dtype=np.float64)
+        L = len(classes)
+        if (W1.shape != (N_CH * EMB_DIM, N_HIDDEN) or b1.shape != (N_HIDDEN,)
+                or W2.shape != (N_HIDDEN, L) or b2.shape != (L,)):
             raise ValueError(
-                "trained weights must lie on the 1/%d grid with |Wq| < 2^15 "
-                "(the exact-float32 precondition of the oracle twin)" % Q
+                f"bad trained head shapes {W1.shape}/{b1.shape}/"
+                f"{W2.shape}/{b2.shape}"
             )
-        self.W = W
-        self.b = b
+        for arr in (W1 * Q, b1 * Q, W2 * Q, b2 * Q):
+            if not (np.array_equal(arr, np.rint(arr))
+                    and np.abs(arr).max() < 2 ** 15):
+                raise ValueError(
+                    "trained weights must lie on the 1/%d grid with "
+                    "|Wq| < 2^15 (the exact-arithmetic precondition of "
+                    "the oracle twin)" % Q
+                )
+        self.W1, self.b1, self.W2, self.b2 = W1, b1, W2, b2
         self.annotation_classes: List[str] = list(classes)
         self.id2label: Dict[int, str] = dict(enumerate(self.annotation_classes))
         self.label2id = {v: k for k, v in self.id2label.items()}
@@ -127,14 +142,14 @@ class TrainedTagger:
         slices: Sequence[Sequence[str]],
         tokenizer_type: str = "WordPiece",
     ) -> np.ndarray:
-        """subtoken slices -> logits [n_slices, seq, num_labels]; one
-        batched float32 matmul, exact on the 1/Q grid (module
-        docstring).  Features are word-keyed (the shared grouping
-        handles either piece convention), so the SQL oracle's
+        """subtoken slices -> logits [n_slices, seq, num_labels]; two
+        batched float64 matmuls with a relu between, exact on the 1/Q^2
+        grid (module docstring).  Features are word-keyed (the shared
+        grouping handles either piece convention), so the SQL oracle's
         word-level forward pass is convention-independent."""
         n = len(slices)
         seq = max((len(s) for s in slices), default=0)
-        X = np.zeros((n, seq, N_CH * EMB_DIM), dtype=np.float32)
+        X = np.zeros((n, seq, N_CH * EMB_DIM), dtype=np.float64)
         for si, subtokens in enumerate(slices):
             words, word_of = NumpyTagger._words_of_slice(subtokens, tokenizer_type)
             lowered = [w.lower() for w in words]
@@ -148,27 +163,38 @@ class TrainedTagger:
                 X[si, pos, EMB_DIM:2 * EMB_DIM] = self._embed(f"{prv}|{w}")
                 X[si, pos, 2 * EMB_DIM:3 * EMB_DIM] = self._embed(w)
                 X[si, pos, 3 * EMB_DIM:] = self._embed(f"{prv}|{w}|{nxt}")
-        logits = X.reshape(n * seq, N_CH * EMB_DIM) @ self.W + self.b
+        h = np.maximum(X.reshape(n * seq, N_CH * EMB_DIM) @ self.W1
+                       + self.b1, 0.0)
+        logits = h @ self.W2 + self.b2
         return logits.reshape(n, seq, len(self.annotation_classes))
 
     # -- M2/M3 decode: identical semantics to the distilled model ----------
     decode_argmax = NumpyTagger.decode_argmax
     decode_proba = NumpyTagger.decode_proba
     _content_len = staticmethod(NumpyTagger._content_len)
-    _pad_dist = NumpyTagger._pad_dist
     tag_slice = NumpyTagger.tag_slice
     tag_slice_proba = NumpyTagger.tag_slice_proba
+
+    def _pad_dist(self):
+        cached = getattr(self, "_pad_dist_cache", None)
+        if cached is None:
+            z = np.maximum(self.b1, 0.0) @ self.W2 + self.b2
+            cached = self.decode_proba(
+                z.reshape(1, 1, len(self.annotation_classes))
+            )[0][0]
+            self._pad_dist_cache = cached
+        return cached
 
     # -- S7 checkpoint lifecycle -------------------------------------------
     def save(self, path: str) -> None:
         np.savez(
             path if path.endswith(".npz") else path + ".npz",
             kind=np.array("trained"),
-            W=self.W,
-            b=self.b,
+            W1=self.W1, b1=self.b1, W2=self.W2, b2=self.b2,
             classes=np.array(self.annotation_classes),
             emb_dim=np.int64(EMB_DIM),
             n_ch=np.int64(N_CH),
+            n_hidden=np.int64(N_HIDDEN),
             n_hash=np.int64(N_HASH),
             q=np.int64(Q),
         )
@@ -179,12 +205,15 @@ class TrainedTagger:
         if str(ckpt.get("kind", "")) != "trained":
             raise ValueError(f"{path} is not a trained-head checkpoint")
         if (int(ckpt["emb_dim"]) != EMB_DIM or int(ckpt["n_hash"]) != N_HASH
-                or int(ckpt.get("n_ch", 3)) != N_CH or int(ckpt["q"]) != Q):
+                or int(ckpt.get("n_ch", 3)) != N_CH or int(ckpt["q"]) != Q
+                or "W1" not in ckpt
+                or int(ckpt.get("n_hidden", 0)) != N_HIDDEN):
             raise ValueError(
                 f"checkpoint {path} was written for a different feature "
                 "spec — retrain with tools/train_tagger.py"
             )
-        return cls(ckpt["W"], ckpt["b"], [str(c) for c in ckpt["classes"]])
+        return cls(ckpt["W1"], ckpt["b1"], ckpt["W2"], ckpt["b2"],
+                   [str(c) for c in ckpt["classes"]])
 
 
 _DEFAULT: Optional[TrainedTagger] = None

@@ -173,22 +173,40 @@ def _trained_tags_cte() -> str:
     """CTE chain (tkeys .. ttags) computing the trained model's word
     tags; requires WORDS_CTE's ``pw`` in scope.  Weights/bias VALUES
     are generated from the SAME packaged checkpoint the Spark workers
-    load, and the md5 byte-slicing mirrors trained.feature_dims."""
+    load, and the md5 byte-slicing mirrors trained.feature_dims.
+
+    Two-layer arithmetic in BIGINT: layer-1 pre-activations in units of
+    1/Q (``b1q + sum(sgn*w1q)``), relu as GREATEST(·,0), logits in
+    units of 1/Q^2 (``b2q*Q + sum(relu*w2q)``) — bit-equal to the
+    float64 forward pass (trained.py module docstring)."""
     import numpy as np
 
-    from kgkit.ner_core.trained import EMB_DIM, N_HASH, Q, default_trained_tagger
+    from kgkit.ner_core.trained import (
+        EMB_DIM, N_HASH, N_HIDDEN, Q, default_trained_tagger,
+    )
 
     m = default_trained_tagger()
-    Wq = np.rint(m.W.astype(np.float64) * Q).astype(int)
-    bq = np.rint(m.b.astype(np.float64) * Q).astype(int)
-    wrows = ", ".join(
-        f"({i}, {c}, {int(Wq[i, c])})"
-        for i in range(Wq.shape[0])
-        for c in range(Wq.shape[1])
-        if Wq[i, c] != 0
+    W1q = np.rint(m.W1 * Q).astype(int)
+    b1q = np.rint(m.b1 * Q).astype(int)
+    W2q = np.rint(m.W2 * Q).astype(int)
+    b2q = np.rint(m.b2 * Q).astype(int)
+    w1rows = ", ".join(
+        f"({i}, {h}, {int(W1q[i, h])})"
+        for i in range(W1q.shape[0])
+        for h in range(W1q.shape[1])
+        if W1q[i, h] != 0
+    )
+    b1rows = ", ".join(
+        f"({h}, {int(b1q[h])})" for h in range(N_HIDDEN)
+    )
+    w2rows = ", ".join(
+        f"({h}, {c}, {int(W2q[h, c])})"
+        for h in range(W2q.shape[0])
+        for c in range(W2q.shape[1])
+        if W2q[h, c] != 0
     )
     brows = ", ".join(
-        f"({c}, '{cls}', {int(bq[c])})"
+        f"({c}, '{cls}', {int(b2q[c])})"
         for c, cls in enumerate(m.annotation_classes)
     )
     hrows = ", ".join(f"({i})" for i in range(N_HASH))
@@ -227,19 +245,34 @@ tcontrib AS (
                 THEN 1 ELSE -1 END AS sgn
     FROM tfeats CROSS JOIN (VALUES {hrows}) hh(i)
 ),
-twsum AS (
-    SELECT c.doc_id, c.pos, w.cls_id, SUM(c.sgn * w.wq) AS s
+th1 AS (
+    SELECT c.doc_id, c.pos, w.hdim, SUM(c.sgn * w.wq) AS s
     FROM tcontrib c
-    JOIN (SELECT * FROM (VALUES {wrows}) t(idx, cls_id, wq)) w
+    JOIN (SELECT * FROM (VALUES {w1rows}) t(idx, hdim, wq)) w
       ON w.idx = c.idx
-    GROUP BY c.doc_id, c.pos, w.cls_id
+    GROUP BY c.doc_id, c.pos, w.hdim
+),
+trelu AS (
+    SELECT p.doc_id, p.pos, b.hdim,
+           GREATEST(b.b1q + COALESCE(h.s, 0), 0) AS r
+    FROM (SELECT doc_id, pos FROM pw) p
+    CROSS JOIN (SELECT * FROM (VALUES {b1rows}) t(hdim, b1q)) b
+    LEFT JOIN th1 h
+      ON h.doc_id = p.doc_id AND h.pos = p.pos AND h.hdim = b.hdim
+),
+tz2 AS (
+    SELECT r.doc_id, r.pos, w.cls_id, SUM(r.r * w.wq) AS s2
+    FROM trelu r
+    JOIN (SELECT * FROM (VALUES {w2rows}) t(hdim, cls_id, wq)) w
+      ON w.hdim = r.hdim
+    GROUP BY r.doc_id, r.pos, w.cls_id
 ),
 tz AS (
     SELECT p.doc_id, p.pos, b.cls_id, b.cls,
-           b.bias_q + COALESCE(s.s, 0) AS z_num
+           b.bias_q * {Q} + COALESCE(s.s2, 0) AS z_num
     FROM (SELECT doc_id, pos FROM pw) p
     CROSS JOIN (SELECT * FROM (VALUES {brows}) t(cls_id, cls, bias_q)) b
-    LEFT JOIN twsum s
+    LEFT JOIN tz2 s
       ON s.doc_id = p.doc_id AND s.pos = p.pos AND s.cls_id = b.cls_id
 ),
 ttags AS (
@@ -303,14 +336,15 @@ def _trained_mentions_sql() -> str:
 
 def _trained_proba_sql() -> str:
     """predict_proba_nn oracle: softmax over the trained logits
-    (z = z_num / 1024 exactly; numerically-stable exp like
+    (z = z_num / 1048576 exactly — the 1/Q^2 two-layer grid;
+    numerically-stable exp like
     NumpyTagger.decode_proba), rounded to 6 on both engines."""
     return f"""
         WITH {WORDS_CTE}, {_trained_tags_cte()},
         zz AS (
             SELECT 'doc://' || doc_id AS url,
                    CAST(pos - 1 AS BIGINT) AS pos, cls,
-                   z_num / 1024.0 AS z
+                   z_num / 1048576.0 AS z
             FROM tz
         ),
         mm AS (SELECT *, max(z) OVER (PARTITION BY url, pos) AS zmax FROM zz),

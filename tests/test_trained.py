@@ -60,7 +60,8 @@ class TestCheckpoint:
     def test_packaged_checkpoint_loads_and_is_on_grid(self):
         m = default_trained_tagger()
         assert m.annotation_classes[0] == "O"
-        assert np.array_equal(m.W * 1024, np.rint(m.W * 1024))
+        for arr in (m.W1, m.b1, m.W2, m.b2):
+            assert np.array_equal(arr * 1024, np.rint(arr * 1024))
 
     def test_training_is_reproducible(self):
         """Re-running the recipe reproduces the committed artifact
@@ -69,16 +70,17 @@ class TestCheckpoint:
 
         fresh = train_default_head()
         committed = default_trained_tagger()
-        assert np.array_equal(fresh.W, committed.W)
-        assert np.array_equal(fresh.b, committed.b)
+        for a, b in ((fresh.W1, committed.W1), (fresh.b1, committed.b1),
+                     (fresh.W2, committed.W2), (fresh.b2, committed.b2)):
+            assert np.array_equal(a, b)
         assert fresh.annotation_classes == committed.annotation_classes
 
     def test_off_grid_weights_rejected(self):
         m = default_trained_tagger()
-        W = m.W.copy()
-        W[0, 0] += 1e-5
+        W1 = m.W1.copy()
+        W1[0, 0] += 1e-5
         with pytest.raises(ValueError, match="grid"):
-            TrainedTagger(W, m.b, m.annotation_classes)
+            TrainedTagger(W1, m.b1, m.W2, m.b2, m.annotation_classes)
 
     def test_ckpt_dispatch_by_kind(self, tmp_path):
         from kgkit.ner_core.nn_tagger import load_checkpoint
@@ -96,8 +98,8 @@ class TestForwardContract:
         m = default_trained_tagger()
         logits = m.forward([["[CLS]", "spark", "hash", "join", "[SEP]"]])
         assert logits.shape == (1, 5, len(m.annotation_classes))
-        z = logits.astype(np.float64) * 1024
-        assert np.array_equal(z, np.rint(z))  # every logit on the 1/1024 grid
+        z = logits * (1024 * 1024)
+        assert np.array_equal(z, np.rint(z))  # logits on the 1/Q^2 grid
 
     def test_pad_tail_fast_path(self):
         m = default_trained_tagger()

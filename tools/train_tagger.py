@@ -53,7 +53,9 @@ def main() -> None:
     os.makedirs(os.path.dirname(DEFAULT_CKPT), exist_ok=True)
     model.save(DEFAULT_CKPT)
     re = TrainedTagger.load(DEFAULT_CKPT)
-    assert np.array_equal(re.W, model.W) and np.array_equal(re.b, model.b)
+    for a, b in ((re.W1, model.W1), (re.b1, model.b1),
+                 (re.W2, model.W2), (re.b2, model.b2)):
+        assert np.array_equal(a, b)
     print(f"wrote {DEFAULT_CKPT} ({os.path.getsize(DEFAULT_CKPT)} bytes)")
 
 
