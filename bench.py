@@ -131,12 +131,42 @@ def normalized_deltas(timings, control, prev_path=None):
     return out
 
 
+def _mp_work(chunk):
+    from kgkit.ner_core import predict
+
+    return sum(len(r) for r in predict(chunk, level="entity", autocorrect=True))
+
+
+def host_control_mp_pages_per_sec(procs: int, n_pages: int = 6000) -> float:
+    """Multi-core twin of the single-process control: the same NER work
+    through a multiprocessing pool at the suite's parallelism.  The two
+    controls separate the host's two independent degradation modes —
+    per-core clock (single-proc control) and the many-core ceiling
+    (memory bandwidth / hypervisor throttling), which round-4
+    measurements showed can swing 20-35% while the per-core clock is
+    unchanged.  Parallel UDF-stage walls normalize against THIS one."""
+    import multiprocessing as mp
+
+    from kgkit.ner_core.train import synth_words
+
+    texts = [" ".join(w) for w in
+             synth_words(n_pages, words_per_page=300, n_filler=200)]
+    chunks = [texts[i::procs] for i in range(procs)]
+    with mp.get_context("spawn").Pool(procs) as pool:
+        pool.map(_mp_work, [c[:20] for c in chunks])  # fork+import warmup
+        t0 = time.monotonic()
+        pool.map(_mp_work, chunks)
+        wall = time.monotonic() - t0
+    return round(n_pages / wall, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     control = host_control_docs_per_sec()
+    control_mp = host_control_mp_pages_per_sec(cpus)
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -167,6 +197,7 @@ def main() -> None:
             "docs_per_sec": docs_per_sec,
             "cpus": cpus,
             "host_control_docs_per_sec": control,
+            "host_control_mp_pages_per_sec": control_mp,
             "normalized_vs_prev": normalized_deltas(timings, control),
         }))
     finally:
