@@ -80,3 +80,57 @@ class TestPlanShape:
             if "MapInPandas" in line:
                 assert "InMemoryRelation" in plan, plan
                 break
+
+
+class TestRound4PlanShapes:
+    SF = "/root/testdata/sf0.001"
+
+    def test_sp_mentions_scan_prunes_like_wordpiece(self, spark):
+        """The Ġ-convention path must keep the same narrow stage-1 scan
+        — the tokenizer choice is python-side and must not widen the
+        JVM projection."""
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+
+        plan = _executed_plan(
+            detect_mentions(
+                pages_for_mentions(load_pages(spark, self.SF)),
+                tokenizer="sentencepiece",
+            )
+        )
+        scan = [l for l in plan.splitlines() if "FileScan" in l]
+        assert scan and "n_chars" not in scan[0] and "source" not in scan[0]
+
+    def test_embedding_near_dups_joins_cached_buckets(self, spark):
+        """Both sides of the bucket self-join must read the persisted
+        capped table (InMemoryTableScan), not recompute the hyperplane
+        HOF lambdas — and the join must be keyed (no cartesian)."""
+        from kgkit.operators.similarity import embedding_near_dups
+
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet").selectExpr(
+            "vec_id", "embedding"
+        )
+        df = embedding_near_dups(emb, dim=64)
+        df.count()  # populate the cache so the executed plan shows scans
+        plan = _executed_plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_canonical_url_is_single_jvm_projection(self, spark):
+        """URL canonicalization must be ONE JVM Project with zero
+        exchanges and zero python — it runs in the scan projection at
+        100 TB.  (try_parse_url's invoke expressions keep the Project
+        outside WholeStageCodegen, which is fine: still JVM-side,
+        still pipelined with the scan.)"""
+        from pyspark.sql import functions as F
+
+        from kgkit.operators.urls import canonical_url_col
+
+        df = spark.range(10).select(
+            F.concat(F.lit("http://h"), F.col("id"), F.lit(".com/p?b=2&a=1"))
+            .alias("url")
+        ).select(canonical_url_col(F.col("url")).alias("c"))
+        plan = _executed_plan(df)
+        assert "Exchange" not in plan, plan
+        assert plan.lstrip().startswith("Project"), plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
