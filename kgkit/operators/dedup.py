@@ -407,3 +407,87 @@ def incremental_near_dups(
         F.col("doc_b").alias("new_doc_id"),
         "jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing substring dedup (Schleimer/Wilkerson/Aiken, MOSS)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(docs: DataFrame, k: int = 16, window: int = 8) -> DataFrame:
+    """(doc_id, fp, pos) winnowed character-k-gram fingerprints.
+
+    The winnowing guarantee: any substring shared EXACTLY between two
+    documents of length >= t = window + k - 1 contributes at least one
+    identical selected fingerprint to both — so exact-substring
+    duplication (licence blocks, quoted passages, mirrored fragments)
+    is detectable from ~1/window of the k-gram hashes, unlike MinHash
+    which needs whole-document similarity.
+
+    Plan: pure column expressions, zero shuffle — per doc, the hash
+    array is built by one transform over the char positions (md5
+    7-hex-prefix int, the shingle fingerprint used by minhash), the
+    window minimum keeps (hash, pos) structs so the survivor's POSITION
+    survives for exact verification, and array_distinct collapses the
+    run-length repetition winnowing produces."""
+    hs = F.expr(
+        f"transform(sequence(0, greatest(length(text) - {k}, -1)), "
+        f"i -> named_struct("
+        f"'fp', cast(conv(substring(md5(substring(text, i + 1, {k})), 1, 7), 16, 10) as bigint), "
+        f"'pos', i))"
+    )
+    wins = F.expr(
+        f"array_distinct(transform(sequence(0, size(_hs) - {window}), "
+        f"j -> array_min(slice(_hs, j + 1, {window}))))"
+    )
+    return (
+        docs.select("doc_id", "text")
+        .filter(F.length("text") >= k + window - 1)
+        .withColumn("_hs", hs)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.fp").alias("fp"), F.col("w.pos").alias("pos"))
+    )
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    window: int = 8,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) pairs sharing >= min_shared VERIFIED
+    winnowed fingerprints — exact-substring duplication candidates.
+
+    Same scale skeleton as the MinHash band join: equi-join on the
+    fingerprint (colliding docs only), the ``max_bucket`` guard drops
+    degenerate fingerprints (a boilerplate k-gram present in every page
+    would square the join), and every surviving pair is VERIFIED by
+    comparing the actual k-gram bytes at the selected positions — a
+    28-bit hash collision cannot produce a false pair."""
+    from pyspark import StorageLevel
+
+    fps = winnow_fingerprints(docs, k, window)
+    capped = _cap_buckets(fps, max_bucket, keys=("fp",), id_col="doc_id")
+    capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "fp",
+                      F.col("pos").alias("pos_a"))
+    b = capped.select(F.col("doc_id").alias("doc_b"), "fp",
+                      F.col("pos").alias("pos_b"))
+    cand = a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b"))
+    texts = docs.select("doc_id", "text")
+    verified = (
+        cand.join(texts.select(F.col("doc_id").alias("doc_a"),
+                               F.col("text").alias("_ta")), "doc_a")
+        .join(texts.select(F.col("doc_id").alias("doc_b"),
+                           F.col("text").alias("_tb")), "doc_b")
+        .filter(
+            F.expr(f"substring(_ta, pos_a + 1, {k})")
+            == F.expr(f"substring(_tb, pos_b + 1, {k})")
+        )
+    )
+    return (
+        verified.select("doc_a", "doc_b", "fp").distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

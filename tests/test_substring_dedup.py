@@ -1,0 +1,102 @@
+"""Winnowing substring dedup (kgkit/operators/dedup.py): the MOSS
+guarantee on crafted fixtures + a pure-python differential twin."""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def _py_winnow(text, k=16, window=8):
+    """Reference winnowing: same md5-prefix hash as the Spark column."""
+    if len(text) < k + window - 1:
+        return set()
+    hs = [
+        (int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:7], 16), i)
+        for i in range(len(text) - k + 1)
+    ]
+    out = set()
+    for j in range(len(hs) - window + 1):
+        out.add(min(hs[j:j + window]))
+    return out
+
+
+SHARED = "this exact licence paragraph is repeated verbatim across pages"
+DOC_A = "alpha opening words then " + SHARED + " and a unique alpha tail"
+DOC_B = "totally different beta start " + SHARED + " plus other beta words"
+DOC_C = "no overlap here at all just independent filler text of its own kind"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestWinnowFingerprints:
+    def test_matches_python_reference(self, spark):
+        from kgkit.operators.dedup import winnow_fingerprints
+
+        df = _docs(spark, [(1, DOC_A), (2, DOC_C)])
+        got = {
+            (r["doc_id"], r["fp"], r["pos"])
+            for r in winnow_fingerprints(df).collect()
+        }
+        want = {
+            (did, fp, pos)
+            for did, text in [(1, DOC_A), (2, DOC_C)]
+            for fp, pos in _py_winnow(text)
+        }
+        assert got == want
+
+    def test_short_docs_dropped(self, spark):
+        from kgkit.operators.dedup import winnow_fingerprints
+
+        df = _docs(spark, [(1, "tiny")])
+        assert winnow_fingerprints(df).count() == 0
+
+
+class TestSubstringDupPairs:
+    def test_shared_passage_detected_and_clean_pair_absent(self, spark):
+        from kgkit.operators.dedup import substring_dup_pairs
+
+        df = _docs(spark, [(1, DOC_A), (2, DOC_B), (3, DOC_C)])
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in substring_dup_pairs(df).collect()
+        }
+        assert (1, 2) in pairs          # the verbatim passage
+        assert pairs[(1, 2)] >= 2
+        assert all(p == (1, 2) for p in pairs)  # C pairs with nobody
+
+    def test_guarantee_threshold(self, spark):
+        """Any shared run of length >= window + k - 1 must be found
+        (here: exactly the threshold length)."""
+        from kgkit.operators.dedup import substring_dup_pairs
+
+        k, w = 16, 8
+        run = "Z" * 0  # build a distinct run of exactly k + w - 1 chars
+        run = "qwertyuiopasdfghjklzxcv"[: k + w - 1]
+        assert len(run) == k + w - 1
+        a = "aaaa bbbb cccc " + run + " dddd eeee"
+        b = "ffff gggg " + run + " hhhh iiii jjjj"
+        got = substring_dup_pairs(
+            _docs(spark, [(1, a), (2, b)]), k=k, window=w, min_shared=1
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+
+    def test_boilerplate_fingerprint_capped(self, spark):
+        """Fingerprints selected in EVERY doc are dropped by max_bucket
+        before the join — no quadratic blowup from a site banner.  The
+        banner leads each doc (identical positions -> identical window
+        selections across all docs), so every shared fingerprint has
+        bucket size 12 > cap and the doc-specific tails match nothing."""
+        from kgkit.operators.dedup import substring_dup_pairs
+
+        boiler = ("identical boilerplate banner text repeated on every "
+                  "single page of this site without any variation at all")
+        # tails must differ inside EVERY k-window (a numbered suffix
+        # like 'tail 0010'/'tail 0011' genuinely shares a 16-char run,
+        # which the verifier would — correctly — report as a pair)
+        rows = [(i, boiler + " " + chr(97 + i) * 24) for i in range(12)]
+        got = substring_dup_pairs(
+            _docs(spark, rows), min_shared=1, max_bucket=5
+        ).collect()
+        assert got == []
