@@ -1,0 +1,121 @@
+"""End-to-end corpus cleaning — the hygiene stages COMPOSED.
+
+Every stage exists as an oracled operator; what a production
+training-data pipeline actually runs is their composition, with
+per-stage drop accounting so nobody discovers months later that a
+filter silently ate 40% of the corpus.  Stage order follows the
+standard cost gradient (cheapest, highest-yield first):
+
+    1. URL canonical dedup — keep one doc per canonical resource
+       (scan projection + one groupBy on the canonical key)
+    2. exact dedup        — keep the min-id doc per md5(text)
+    3. near-dup removal   — MinHash+LSH pairs; of each duplicate pair
+       the LARGER id is dropped (greedy right-drop — the standard
+       approximation to clique collapse; the pair list is the small
+       side and is broadcast into the anti-join)
+    4. quality filter     — the Gopher rule battery's keep flag
+
+Accounting: ``clean_corpus`` returns (cleaned_df, stats) where stats
+carries the per-stage kept/dropped counts.  Counting is one eager
+count per stage boundary — four small jobs on frames the next stage
+consumes anyway (each boundary is persisted, so the count populates
+the cache the next stage reads: the accounting is almost free, and
+silently-lazy accounting that nobody forces is worse than none).
+Intermediate caches are released as soon as the next boundary is
+materialized, mirroring the streaming index discipline."""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_corpus(
+    docs: DataFrame,
+    url_col: str = "url",
+    near_dup_threshold: float = 0.5,
+    quality_kwargs: dict = None,
+) -> Tuple[DataFrame, Dict[str, int]]:
+    """docs(doc_id, url?, text) -> (cleaned docs, per-stage stats).
+
+    ``url_col=None`` (or a missing column) skips stage 1."""
+    from pyspark.sql import Window
+
+    from kgkit.operators.dedup import minhash_near_dups
+    from kgkit.operators.text_quality import gopher_quality
+
+    stats: Dict[str, int] = {"input": docs.count()}
+
+    cur = docs
+    # -- 1. URL canonical dedup ------------------------------------------
+    if url_col and url_col in docs.columns:
+        from kgkit.operators.urls import canonical_url_col
+
+        cur = (
+            cur.withColumn(
+                "_curl",
+                F.coalesce(canonical_url_col(F.col(url_col)),
+                           F.col(url_col)),
+            )
+            .withColumn(
+                "_keep_id", F.min("doc_id").over(Window.partitionBy("_curl"))
+            )
+            .filter(F.col("doc_id") == F.col("_keep_id"))
+            .drop("_curl", "_keep_id")
+        )
+    cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+    stats["after_url_dedup"] = cur.count()
+
+    # -- 2. exact dedup ---------------------------------------------------
+    prev = cur
+    cur = (
+        cur.withColumn(
+            "_keep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("_keep_id"))
+        .drop("_keep_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats["after_exact_dedup"] = cur.count()
+    prev.unpersist()
+
+    # -- 3. near-dup removal ----------------------------------------------
+    pairs = minhash_near_dups(
+        cur.select("doc_id", "text"), threshold=near_dup_threshold
+    )
+    drop = pairs.select(
+        F.greatest("doc_a", "doc_b").alias("doc_id")
+    ).distinct()
+    prev = cur
+    cur = (
+        cur.join(F.broadcast(drop), "doc_id", "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats["after_near_dedup"] = cur.count()
+    prev.unpersist()
+
+    # -- 4. quality filter -------------------------------------------------
+    q = gopher_quality(
+        cur.select("doc_id", "text"), **(quality_kwargs or {})
+    ).select("doc_id", "keep")
+    prev = cur
+    cur = (
+        cur.join(q, "doc_id")
+        .filter(F.col("keep") == 1)
+        .drop("keep")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats["after_quality"] = cur.count()
+    prev.unpersist()
+
+    for a, b, key in (
+        ("input", "after_url_dedup", "dropped_url_dedup"),
+        ("after_url_dedup", "after_exact_dedup", "dropped_exact"),
+        ("after_exact_dedup", "after_near_dedup", "dropped_near_dup"),
+        ("after_near_dedup", "after_quality", "dropped_quality"),
+    ):
+        stats[key] = stats[a] - stats[b]
+    return cur, stats

@@ -1,0 +1,69 @@
+"""clean_corpus composition (kgkit/operators/corpus_clean.py):
+each stage drops exactly its planted victims, accounting adds up."""
+
+from __future__ import annotations
+
+
+TEXT_A = ("the quick brown fox jumps over the lazy dog while the spark "
+          "engine keeps every stage of the query pipeline busy with joins "
+          "and the optimizer prunes columns early so the scan stays narrow "
+          "and the shuffle stays small for all partitions involved here")
+TEXT_B = ("completely different second article about cooking bread at home "
+          "where the dough rests overnight and the oven heats slowly until "
+          "the crust turns golden and the kitchen smells of fresh baking "
+          "while the family waits around the table for the first warm slice")
+TEXT_C = ("a third unrelated report on mountain weather patterns describes "
+          "how the wind shifts across the ridge before a storm arrives and "
+          "hikers learn to read the clouds closely because conditions change "
+          "faster above the treeline than any forecast can ever promise")
+
+
+def _corpus(spark):
+    rows = [
+        # two URL variants of the same resource (stage 1 keeps id 1)
+        (1, "http://e.com/a?utm_source=x", TEXT_A + " alpha one"),
+        (2, "http://E.com:80/a", TEXT_A + " alpha two"),
+        # exact duplicate pair (stage 2 keeps id 3)
+        (3, "http://e.com/b", TEXT_B),
+        (4, "http://e.com/c", TEXT_B),
+        # near-duplicate of doc 3 (stage 3 drops the larger id 5)
+        (5, "http://e.com/d", TEXT_B + " extra suffix tail words"),
+        # low-quality (too short for the Gopher min_words rule)
+        (6, "http://e.com/e", "tiny page"),
+        # clean survivor
+        (7, "http://e.com/f", TEXT_C),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+class TestCleanCorpus:
+    def test_stagewise_drops_and_accounting(self, spark):
+        from kgkit.operators.corpus_clean import clean_corpus
+
+        cleaned, stats = clean_corpus(_corpus(spark))
+        kept = sorted(r["doc_id"] for r in cleaned.collect())
+        # 2 lost to url-dedup, 4 to exact, 5 to near-dup, 6 to quality
+        assert kept == [1, 3, 7], (kept, stats)
+        assert stats["input"] == 7
+        assert stats["dropped_url_dedup"] == 1
+        assert stats["dropped_exact"] == 1
+        assert stats["dropped_near_dup"] == 1
+        assert stats["dropped_quality"] == 1
+        assert stats["after_quality"] == 3
+        # accounting must be conservative: kept + all drops == input
+        total = stats["after_quality"] + sum(
+            v for k, v in stats.items() if k.startswith("dropped_")
+        )
+        assert total == stats["input"]
+
+    def test_no_url_column_skips_stage_one(self, spark):
+        from kgkit.operators.corpus_clean import clean_corpus
+
+        docs = _corpus(spark).drop("url")
+        cleaned, stats = clean_corpus(docs)
+        assert stats["dropped_url_dedup"] == 0
+        # without url-dedup, doc 2 survives stage 1 and is NOT an exact
+        # duplicate of doc 1 (different alpha tails) — near-dup catches it
+        kept = sorted(r["doc_id"] for r in cleaned.collect())
+        assert kept == [1, 3, 7], (kept, stats)
+        assert stats["dropped_near_dup"] == 2  # docs 2 and 5
