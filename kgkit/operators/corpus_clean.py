@@ -11,8 +11,8 @@ standard cost gradient (cheapest, highest-yield first):
     2. exact dedup        — keep the min-id doc per md5(text)
     3. near-dup removal   — MinHash+LSH pairs; of each duplicate pair
        the LARGER id is dropped (greedy right-drop — the standard
-       approximation to clique collapse; the pair list is the small
-       side and is broadcast into the anti-join)
+       approximation to clique collapse) via an anti-join whose build
+       side AQE sizes at runtime
     4. quality filter     — the Gopher rule battery's keep flag
 
 Accounting: ``clean_corpus`` returns (cleaned_df, stats) where stats
@@ -90,8 +90,11 @@ def clean_corpus(
         F.greatest("doc_a", "doc_b").alias("doc_id")
     ).distinct()
     prev = cur
+    # no broadcast hint: the drop list is usually tiny but is NOT
+    # bounded (a heavily-mirrored crawl can shed millions of ids) —
+    # AQE picks broadcast when the built side is actually small
     cur = (
-        cur.join(F.broadcast(drop), "doc_id", "left_anti")
+        cur.join(drop, "doc_id", "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats["after_near_dedup"] = cur.count()
