@@ -86,3 +86,78 @@ class TestSchemeProperties:
         bilou = convert_scheme(tags, "plain", "bilou")
         fixed, abidance = fix_scheme(bilou, "bilou")
         assert fixed == bilou and abidance == 1.0
+
+
+class TestUrlProperties:
+    """canonicalize_url is a total, idempotent normalizer."""
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(max_size=120))
+    def test_total_and_idempotent_on_arbitrary_text(self, s):
+        from kgkit.operators.urls import canonicalize_url
+
+        out = canonicalize_url(s)  # never raises
+        if out is not None:
+            assert out.startswith(("http://", "https://"))
+            assert canonicalize_url(out) == out  # fixpoint
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.sampled_from(["http", "https", "HTTP"]),
+        st.from_regex(r"[A-Za-z0-9.-]{1,20}", fullmatch=True),
+        st.from_regex(r"(/[A-Za-z0-9._~-]{0,10}){0,3}", fullmatch=True),
+        st.lists(
+            st.tuples(st.from_regex(r"[a-z_]{1,8}", fullmatch=True),
+                      st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True)),
+            max_size=4,
+        ),
+    )
+    def test_structured_urls_idempotent(self, scheme, host, path, params):
+        from kgkit.operators.urls import canonicalize_url
+
+        q = "&".join(f"{k}={v}" for k, v in params)
+        url = f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+        out = canonicalize_url(url)
+        if out is not None:
+            assert canonicalize_url(out) == out
+
+
+class TestRobotsProperties:
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=300), st.text(max_size=60))
+    def test_parser_and_decision_are_total(self, body, path):
+        from kgkit.operators.urls import robots_allowed
+
+        assert robots_allowed(body, path) in (True, False)
+
+
+class TestWarcProperties:
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=600))
+    def test_parser_is_total_on_arbitrary_bytes(self, data):
+        from kgkit.sources.warc import parse_warc_bytes
+
+        recs = parse_warc_bytes(data)  # never raises
+        assert isinstance(recs, list)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(
+        st.tuples(st.from_regex(r"http://[a-z]{1,8}\.com/[a-z0-9]{0,6}",
+                                fullmatch=True),
+                  st.binary(max_size=80)),
+        min_size=1, max_size=4,
+    ))
+    def test_roundtrip_arbitrary_payloads(self, recs):
+        import os
+        import tempfile
+
+        from kgkit.sources.warc import parse_warc_bytes, write_warc
+
+        fd, p = tempfile.mkstemp(suffix=".warc")
+        try:
+            os.close(fd)
+            write_warc([{"url": u, "body": b} for u, b in recs], p)
+            back = parse_warc_bytes(open(p, "rb").read())
+            assert [(r["url"], r["payload"]) for r in back] == recs
+        finally:
+            os.unlink(p)
