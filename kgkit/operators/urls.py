@@ -84,8 +84,11 @@ def canonical_url_col(url: Column) -> Column:
     # the try_ variant yields NULL, which the final when() maps to the
     # python spec's None
     hostport = F.lower(F.try_parse_url(u, F.lit("HOST")))
-    # parse_url(HOST) keeps no port; pull it separately
-    port = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/@?#]*:(\d+)", 1)
+    # parse_url(HOST) keeps no port; pull it separately (the optional
+    # userinfo@ group keeps the match anchored on the REAL host — a
+    # user:pass@ prefix must not eat the authority before the port)
+    port = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/@:?#]*:(\d+)", 1)
     default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
     netloc = F.when(
         (port == "") | (port == default_port), hostport
