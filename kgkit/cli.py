@@ -55,6 +55,17 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_predict_file(args) -> int:
+    """Model.predict_on_file parity: file in, predictions file out."""
+    from kgkit.sources.formats import predict_on_file
+
+    spark = _spark(args.shuffle_partitions)
+    predict_on_file(spark, args.input_file, args.output_file,
+                    model=args.model)
+    print(json.dumps({"input": args.input_file, "output": args.output_file}))
+    return 0
+
+
 def cmd_run_pipeline(args) -> int:
     from kgkit.plans.stages import run_kg_pipeline
 
@@ -101,6 +112,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-autocorrect", action="store_true")
     p.add_argument("--pretokenized", action="store_true")
     p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser(
+        "predict-file",
+        help="JSONL of {'text'} lines -> {'text','tags'} lines (distributed)",
+    )
+    p.add_argument("input_file")
+    p.add_argument("output_file")
+    p.add_argument("--model", default="gazetteer")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.set_defaults(fn=cmd_predict_file)
 
     p = sub.add_parser("run-pipeline", help="4-stage KG pipeline with resume")
     p.add_argument("--pages", required=True)

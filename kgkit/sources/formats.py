@@ -92,6 +92,29 @@ def write_predictions_jsonl(pages: DataFrame, mentions: DataFrame, path: str) ->
     )
 
 
+def predict_on_file(
+    spark, input_file: str, output_file: str, model: str = "gazetteer"
+) -> None:
+    """Model.predict_on_file (api/model.py:282-307), distributed: JSONL
+    of {"text": ...} lines in, {"text", "tags": [predictions]} lines
+    out — the reference's per-line driver loop becomes read -> one
+    Arrow-UDF prediction pass -> grouped sink, so a 100 TB input is a
+    partitioned scan instead of a python for-loop over open()."""
+    from kgkit.operators.mentions import detect_mentions
+
+    pages = (
+        spark.read.json(input_file, schema="text string")
+        .select(
+            F.concat(F.lit("line://"),
+                     (F.monotonically_increasing_id()).cast("string"))
+            .alias("url"),
+            "text",
+        )
+    )
+    write_predictions_jsonl(pages, detect_mentions(pages, model=model),
+                            output_file)
+
+
 # ---------------------------------------------------------------------------
 # P8 — doccano
 # ---------------------------------------------------------------------------

@@ -41,7 +41,7 @@ class TestParserSurface:
 
         sub = build_parser()._subparsers._group_actions[0]
         assert set(sub.choices) == {
-            "predict", "run-pipeline", "evaluate", "lineage",
+            "predict", "predict-file", "run-pipeline", "evaluate", "lineage",
         }
 
     def test_run_pipeline_requires_pages_and_out(self):

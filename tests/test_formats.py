@@ -337,3 +337,34 @@ class TestSwedishFormatters:
             (0, 2): ("Lindh", "I-PER"),
             (1, 0): ("Gbg", "B-LOC"),
         }
+
+
+class TestPredictOnFile:
+    def test_file_in_predictions_out(self, spark, tmp_path):
+        """Model.predict_on_file parity (api/model.py:282-307): every
+        input line comes back with its predictions; no-entity lines get
+        an empty tags array; offsets are byte-identical."""
+        import json
+
+        from kgkit.sources.formats import predict_on_file
+
+        inp = tmp_path / "in.jsonl"
+        inp.write_text(
+            "\n".join(json.dumps({"text": t}) for t in [
+                "the spark hash join runs",
+                "no entities in this line",
+                "customer table scan begins",
+            ]) + "\n"
+        )
+        out = str(tmp_path / "out")
+        predict_on_file(spark, str(inp), out)
+        lines = [json.loads(l) for l in
+                 spark.read.text(out + "/*.json").rdd.map(lambda r: r[0]).collect()]
+        by_text = {l["text"]: l["tags"] for l in lines}
+        assert len(by_text) == 3
+        assert by_text["no entities in this line"] == []
+        got = {(t["token"], t["tag"]) for t in by_text["the spark hash join runs"]}
+        assert got == {("spark", "TECH"), ("hash join", "OP")}
+        for text, tags in by_text.items():
+            for t in tags:
+                assert text[t["char_start"]:t["char_end"]] == t["token"]
