@@ -33,6 +33,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def keep_min_id(df: DataFrame, key) -> DataFrame:
+    """Keep the min-doc_id row per dedup key — the scale-safe shape
+    (kgkit.queries._dedup_exact_q): a NARROW (key, doc_id) projection
+    groupBys with map-side combine, then the full rows semi-join on
+    doc_id alone (unique survivors, uniform bigint key).  A
+    Window.partitionBy(key) would instead shuffle FULL rows by the key
+    with no partial aggregation — one mega-duplicated boilerplate page
+    funnels its whole mass through a single task at 100 TB
+    (tests/test_corpus_clean.py pins the plan shape)."""
+    keep = (
+        df.select(key.alias("_k"), "doc_id")
+        .groupBy("_k")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return df.join(keep, "doc_id", "left_semi")
+
+
 def clean_corpus(
     docs: DataFrame,
     url_col: str = "url",
@@ -42,8 +60,6 @@ def clean_corpus(
     """docs(doc_id, url?, text) -> (cleaned docs, per-stage stats).
 
     ``url_col=None`` (or a missing column) skips stage 1."""
-    from pyspark.sql import Window
-
     from kgkit.operators.dedup import minhash_near_dups
     from kgkit.operators.text_quality import gopher_quality
 
@@ -54,31 +70,21 @@ def clean_corpus(
     if url_col and url_col in docs.columns:
         from kgkit.operators.urls import canonical_url_col
 
-        cur = (
-            cur.withColumn(
-                "_curl",
-                F.coalesce(canonical_url_col(F.col(url_col)),
-                           F.col(url_col)),
-            )
-            .withColumn(
-                "_keep_id", F.min("doc_id").over(Window.partitionBy("_curl"))
-            )
-            .filter(F.col("doc_id") == F.col("_keep_id"))
-            .drop("_curl", "_keep_id")
+        # NULL urls must NOT collapse into one dedup group (a sparsely
+        # populated url column would silently drop every url-less doc
+        # but one) — fall back to a per-row unique doc:// key
+        key = F.coalesce(
+            canonical_url_col(F.col(url_col)),
+            F.col(url_col),
+            F.concat(F.lit("doc://"), F.col("doc_id")),
         )
+        cur = keep_min_id(cur, key)
     cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
     stats["after_url_dedup"] = cur.count()
 
     # -- 2. exact dedup ---------------------------------------------------
     prev = cur
-    cur = (
-        cur.withColumn(
-            "_keep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-        )
-        .filter(F.col("doc_id") == F.col("_keep_id"))
-        .drop("_keep_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    cur = keep_min_id(cur, F.md5("text")).persist(StorageLevel.MEMORY_AND_DISK)
     stats["after_exact_dedup"] = cur.count()
     prev.unpersist()
 

@@ -56,7 +56,13 @@ def canonicalize_url(url: str) -> Optional[str]:
     host = (parts.hostname or "").lower()
     if not host:
         return None
-    port = parts.port
+    try:
+        # .port raises ValueError for non-numeric / out-of-range ports
+        # ('http://h:abc/', 'http://h:99999/') — the JVM twin yields
+        # NULL for those, so the spec must return None, not raise
+        port = parts.port
+    except ValueError:
+        return None
     default = {"http": 80, "https": 443}[scheme]
     netloc = host if port in (None, default) else f"{host}:{port}"
     path = parts.path or "/"
@@ -111,8 +117,12 @@ def canonical_url_col(url: Column) -> Column:
         scheme, F.lit("://"), netloc, path,
         F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
     )
+    # out-of-range ports (e.g. :99999) are invalid URLs: the python
+    # spec's urlsplit().port rejects them, so the column must too
+    port_ok = (port == "") | (port.try_cast("bigint") <= F.lit(65535))
     return F.when(
-        scheme.isin("http", "https") & hostport.isNotNull() & (hostport != ""),
+        scheme.isin("http", "https")
+        & hostport.isNotNull() & (hostport != "") & port_ok,
         canon,
     )
 

@@ -183,9 +183,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 # HTML -> text (JVM-side, scan-projection class)
 # ---------------------------------------------------------------------------
 
+# '&amp;' must unescape LAST: doubly-escaped entities ('&amp;lt;',
+# which renders as the literal text '&lt;') would otherwise be
+# double-unescaped into '<', corrupting byte-identity-sensitive text
 _ENTITIES = [
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-    ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
 ]
 
 

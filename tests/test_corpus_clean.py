@@ -56,6 +56,58 @@ class TestCleanCorpus:
         )
         assert total == stats["input"]
 
+    def test_null_urls_are_not_one_dedup_group(self, spark):
+        """A sparsely-populated url column must not collapse every
+        url-less doc into one NULL dedup key (mass data loss): the key
+        falls back to a per-row doc:// id."""
+        from kgkit.operators.corpus_clean import clean_corpus
+
+        rows = [
+            (1, None, TEXT_A),
+            (2, None, TEXT_B),
+            (3, None, TEXT_C),
+            (4, "http://e.com/a",
+             "a fourth wholly separate essay follows the harvest season on "
+             "the coast where the boats return before dusk and the market "
+             "opens early with crates of fish and the town gathers to trade "
+             "stories about the tides and the weather out beyond the bay"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        cleaned, stats = clean_corpus(docs)
+        assert stats["dropped_url_dedup"] == 0, stats
+        assert sorted(r["doc_id"] for r in cleaned.collect()) == [1, 2, 3, 4]
+
+    def test_mega_duplicate_no_window_shuffle(self, spark):
+        """Scale shape: dedup stages 1-2 are groupBy(key).min + semi-join
+        (map-side partial combine on a narrow projection), NOT a
+        Window.partitionBy(key) full-row shuffle — a mega-duplicated
+        boilerplate page must not funnel through one reducer task."""
+        from pyspark.sql import functions as F
+
+        from kgkit.operators.corpus_clean import clean_corpus
+
+        mega = spark.range(0, 400).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("http://m.com/p"), F.col("id")).alias("url"),
+            F.lit(TEXT_A).alias("text"),
+        )
+        tail = spark.createDataFrame(
+            [(1000, "http://m.com/t", TEXT_C)],
+            "doc_id long, url string, text string",
+        )
+        cleaned, stats = clean_corpus(mega.unionByName(tail))
+        assert stats["dropped_exact"] == 399, stats
+        assert sorted(r["doc_id"] for r in cleaned.collect()) == [0, 1000]
+        # the dedup building block itself: no Window, partial+final
+        # HashAggregate (map-side combine on the key), semi-join keep
+        from kgkit.operators.corpus_clean import keep_min_id
+
+        dd = keep_min_id(mega.unionByName(tail), F.md5("text"))
+        plan = dd._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        assert plan.count("HashAggregate") >= 2, plan
+        assert "LeftSemi" in plan, plan
+
     def test_no_url_column_skips_stage_one(self, spark):
         from kgkit.operators.corpus_clean import clean_corpus
 

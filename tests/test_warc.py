@@ -77,6 +77,20 @@ class TestSparkReader:
             "http://a.com/2": "second page",
         }
 
+    def test_double_escaped_entities_unescape_once(self, spark, tmp_path):
+        """'&amp;lt;' renders as the literal text '&lt;' — the extractor
+        must NOT double-unescape it into '<' (amp is replaced last)."""
+        from kgkit.sources.warc import warc_pages, write_warc
+
+        p = str(tmp_path / "d.warc")
+        write_warc(
+            [{"url": "http://x.com/e",
+              "body": "<body>a &amp;lt; b &amp;amp; c &lt; d</body>"}],
+            p,
+        )
+        (row,) = warc_pages(spark, p).collect()
+        assert row["text"] == "a &lt; b &amp; c < d"
+
     def test_pages_feed_the_ner_pipeline(self, spark, tmp_path):
         """WARC -> pages -> mentions: the ingestion path composes with
         stage 1 end to end."""
