@@ -90,14 +90,36 @@ def host_control_docs_per_sec(n_pages: int = 1500) -> float:
     return round(n_pages / (time.monotonic() - t0), 1)
 
 
-def normalized_deltas(timings, control, prev_path=None):
+# Queries whose wall is dominated by the parallel Arrow-UDF stage (the
+# full-corpus NER passes and everything built on them).  The host's two
+# degradation modes are INDEPENDENT (r4: the many-core ceiling swung
+# 0.68-0.87 across days while the 1-proc clock was stable), so these
+# normalize against the multiprocessing control; everything else (JVM
+# relational / small-data queries) against the single-proc control.
+# r4's run flagged 8 parallel-stage queries as false regressions by
+# normalizing them with the wrong control — this split fixes that.
+PARALLEL_STAGE_QUERIES = frozenset({
+    "kg_mentions", "kg_mentions_sp", "kg_mentions_nn",
+    "predict_proba_nn", "predict_proba_nn_map",
+    "kg_linked", "kg_canonical", "kg_triples", "kg_entity_counts",
+    "word_tags_bio", "label_set", "ner_token_confusion", "ner_entity_prf",
+    "asr_corrected_bio", "eval_fanout", "dataset_stats",
+    "hf_pretokenized_ingest", "hf_charspan_ingest",
+    "tags_bilou", "iob1_roundtrip",
+})
+
+
+def normalized_deltas(timings, control, control_mp=None, prev_path=None):
     """Per-query regression table vs the previous round's recorded
     bench: delta_pct = (wall_now * control_now/control_prev) / wall_prev
     - 1, i.e. each wall is first normalized by the embedded host-speed
     control so a slow/fast sandbox day does not read as a code change.
-    Machine-flaggable: the driver (and the judge) can sort by delta_pct
-    instead of re-deriving the normalization by hand.  Returns {} when
-    no previous bench (or no control in it) is available."""
+    Parallel-stage queries (PARALLEL_STAGE_QUERIES) normalize against
+    the multiprocessing ceiling control when both rounds recorded it;
+    the rest against the single-proc clock control.  Machine-flaggable:
+    the driver (and the judge) can sort by delta_pct instead of
+    re-deriving the normalization by hand.  Returns {} when no previous
+    bench (or no control in it) is available."""
     import glob
 
     if prev_path is None:
@@ -115,17 +137,28 @@ def normalized_deltas(timings, control, prev_path=None):
     if isinstance(prev.get("parsed"), dict):
         prev = prev["parsed"]
     prev_control = prev.get("host_control_docs_per_sec")
+    prev_mp = prev.get("host_control_mp_pages_per_sec")
     prev_q = prev.get("queries", {})
     if not prev_control or not prev_q:
         return {}
     scale = control / prev_control
-    out = {"vs": os.path.basename(prev_path), "control_scale": round(scale, 4)}
+    mp_scale = (control_mp / prev_mp) if (control_mp and prev_mp) else scale
+    out = {
+        "vs": os.path.basename(prev_path),
+        "control_scale": round(scale, 4),
+        "control_scale_mp": round(mp_scale, 4),
+    }
     deltas = {}
+    control_class = {}
     for name, wall in timings.items():
         pw = prev_q.get(name)
         if pw:
-            deltas[name] = round((wall * scale) / pw - 1.0, 3)
+            par = name in PARALLEL_STAGE_QUERIES
+            s = mp_scale if par else scale
+            deltas[name] = round((wall * s) / pw - 1.0, 3)
+            control_class[name] = "mp" if par else "1proc"
     out["delta_pct"] = deltas
+    out["control_class"] = control_class
     flagged = {n: d for n, d in deltas.items() if d > 0.15 and timings[n] > 1.0}
     out["regressions_gt_15pct"] = flagged
     return out
@@ -198,7 +231,8 @@ def main() -> None:
             "cpus": cpus,
             "host_control_docs_per_sec": control,
             "host_control_mp_pages_per_sec": control_mp,
-            "normalized_vs_prev": normalized_deltas(timings, control),
+            "normalized_vs_prev": normalized_deltas(timings, control,
+                                                    control_mp),
         }))
     finally:
         spark.stop()

@@ -89,16 +89,11 @@ def _lm_tables(spark: SparkSession, lm: Dict[str, Dict]
     return uni, bi
 
 
-def lm_score(docs: DataFrame, lm: Dict[str, Dict]) -> DataFrame:
-    """(doc_id, lm_log2ppl) — mean -log2 p(w|prev) per document.
-
-    Plan: one generator expression builds the (prev, w) pair stream,
-    two BROADCAST joins attach the (vocab-sized) probability tables,
-    one groupBy(doc_id) averages — the corpus never shuffles except on
-    doc_id for the final mean, and AQE coalesces that."""
-    spark = docs.sparkSession
-    uni, bi = _lm_tables(spark, lm)
-    pairs = (
+def _pair_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, prev, w) bigram stream; docs with < 2 words keep one
+    null row (explode_outer) so the aggregate can coalesce to the
+    floor instead of losing the doc."""
+    return (
         docs.selectExpr(
             "doc_id",
             "filter(split(lower(text), ' '), x -> x != '') as _ws",
@@ -118,6 +113,18 @@ def lm_score(docs: DataFrame, lm: Dict[str, Dict]) -> DataFrame:
         .select("doc_id", F.explode_outer("ps").alias("p"))
         .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
     )
+
+
+def lm_score(docs: DataFrame, lm: Dict[str, Dict]) -> DataFrame:
+    """(doc_id, lm_log2ppl) — mean -log2 p(w|prev) per document.
+
+    Plan: one generator expression builds the (prev, w) pair stream,
+    two BROADCAST joins attach the (vocab-sized) probability tables,
+    one groupBy(doc_id) averages — the corpus never shuffles except on
+    doc_id for the final mean, and AQE coalesces that."""
+    spark = docs.sparkSession
+    uni, bi = _lm_tables(spark, lm)
+    pairs = _pair_stream(docs)
     scored = (
         pairs.join(F.broadcast(bi), ["prev", "w"], "left")
         .join(F.broadcast(uni), ["w"], "left")
@@ -141,6 +148,112 @@ def lm_score(docs: DataFrame, lm: Dict[str, Dict]) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.coalesce(F.avg("nl"), F.lit(-OOV_LOG2P)).alias("lm_log2ppl")
     )
+
+
+OOV_P = 2.0 ** OOV_LOG2P  # exact power of two — bit-identical everywhere
+
+
+def relational_bigram_lm(seed: DataFrame):
+    """(uni(w, p_uni), bi(prev, w, p_bi)) built RELATIONALLY from a
+    seed-corpus DataFrame — the distributed twin of ``train_bigram_lm``
+    (which counts driver-side; fine for a vocab-sized model, but a
+    100-TB seed corpus wants the groupBy).
+
+    Smoothing is add-1/2, expressed as ONE division of exact integers:
+    p_uni = (2c+1)/(2T+V), p_bi = (2c+1)/(2c_prev+V).  IEEE division
+    of exactly-representable integers is correctly rounded, so the
+    stored probabilities are bit-identical across engines — the
+    cross-engine property kgkit.oracles' lm_ppl_buckets twin relies
+    on (no driver-side log2 whose ulp could differ)."""
+    from pyspark.sql import Window
+
+    words = seed.selectExpr(
+        "doc_id",
+        "posexplode(filter(split(lower(text), ' '), x -> x != ''))"
+        " AS (pos, w)",
+    )
+    uni_c = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = uni_c.agg(
+        F.sum("c").alias("t_total"), F.count("*").alias("v_size")
+    )
+    uni = uni_c.crossJoin(F.broadcast(tot)).select(
+        "w",
+        ((2 * F.col("c") + 1) / (2 * F.col("t_total") + F.col("v_size")))
+        .alias("p_uni"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        words.withColumn("prev", F.lag("w").over(win))
+        .filter(F.col("prev").isNotNull())
+    )
+    bi_c = pairs.groupBy("prev", "w").agg(F.count("*").alias("c"))
+    bi = (
+        bi_c.join(
+            uni_c.select(F.col("w").alias("prev"), F.col("c").alias("c_prev")),
+            "prev",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev", "w",
+            ((2 * F.col("c") + 1) / (2 * F.col("c_prev") + F.col("v_size")))
+            .alias("p_bi"),
+        )
+    )
+    return uni, bi
+
+
+def lm_score_exact(docs: DataFrame, uni: DataFrame, bi: DataFrame
+                   ) -> DataFrame:
+    """(doc_id, lm_log2ppl) on the deterministic cross-engine grid.
+
+    Same plan as ``lm_score`` (pair stream + two broadcast joins + one
+    groupBy), but the mean is NOT a float avg (order-dependent across
+    engines — CLAUDE.md gotcha): each pair's -log2 p is rounded to the
+    1e-6 BIGINT grid and SUMmed (exact, commutative), then the mean is
+    re-derived from (sum, count).  The interpolation input is an exact
+    integer-ratio probability, so the only libm call is one log2 per
+    pair, absorbed by the grid."""
+    pairs = _pair_stream(docs)
+    interior = (
+        F.lit(LAMBDA) * F.coalesce(F.col("p_bi"), F.lit(0.0))
+        + F.lit(1 - LAMBDA) * F.coalesce(F.col("p_uni"), F.lit(OOV_P))
+    )
+    nl_q = F.when(
+        F.col("w").isNotNull(),
+        F.round(-F.log2(interior) * 1000000, 0).cast("bigint"),
+    )
+    agg = (
+        pairs.join(F.broadcast(bi), ["prev", "w"], "left")
+        .join(F.broadcast(uni), ["w"], "left")
+        .select("doc_id", nl_q.alias("nl_q"))
+        .groupBy("doc_id")
+        .agg(F.sum("nl_q").alias("s"), F.count("nl_q").alias("n"))
+    )
+    return agg.select(
+        "doc_id",
+        F.when(F.col("n") == 0, F.lit(-OOV_LOG2P))
+        .otherwise(F.round(F.col("s") / (F.col("n") * F.lit(1000000.0)), 6))
+        .alias("lm_log2ppl"),
+    )
+
+
+def ppl_tertiles(scores: DataFrame) -> DataFrame:
+    """CCNet buckets on EXACT tertiles: ntile(3) ordered by (score,
+    doc_id) — deterministic and SQL-twinnable, unlike approxQuantile.
+    The global window is a single-partition sort of (doc_id, score)
+    PAIRS only (16 bytes/doc) — the oracle-exact variant next to the
+    production ``perplexity_buckets``, whose approx cutoffs never
+    collect anything."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("lm_log2ppl", "doc_id")
+    t = scores.withColumn("_t", F.ntile(3).over(w))
+    return t.withColumn(
+        "ppl_bucket",
+        F.when(F.col("_t") == 1, "head")
+        .when(F.col("_t") == 2, "middle")
+        .otherwise("tail"),
+    ).drop("_t")
 
 
 def perplexity_buckets(scores: DataFrame, quantiles=(1 / 3, 2 / 3)

@@ -24,7 +24,7 @@ as the oracle.
 from __future__ import annotations
 
 import re
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 from urllib.parse import urlsplit
 
 from pyspark.sql import Column
@@ -208,6 +208,155 @@ class RobotsRules:
 
 def robots_allowed(body: str, path: str, user_agent: str = "*") -> bool:
     return RobotsRules(body, user_agent).allowed(path)
+
+
+def robots_rules_df(spark, robots_bodies: Dict[str, str],
+                    user_agent: str = "*"):
+    """{host: robots.txt body} -> (host, allow, plen, rx) rule table.
+
+    Parsing runs driver-side (one robots.txt per HOST — the table is
+    host-count sized, broadcastable by construction); each pattern is
+    compiled to an anchored regex string once here so the distributed
+    evaluation below is a pure JVM ``regexp_like``, no python per row."""
+    rows = []
+    for host, body in sorted(robots_bodies.items()):
+        for allow, pat in RobotsRules(body, user_agent).rules:
+            rows.append((host.lower(), bool(allow), len(pat),
+                         RobotsRules._pattern_to_re(pat)))
+    return spark.createDataFrame(
+        rows, "host string, allow boolean, plen int, rx string"
+    )
+
+
+def robots_apply(urls_df, rules_df, url_col: str = "url",
+                 id_col: str = "doc_id"):
+    """Add an ``allowed`` boolean column: RFC 9309 longest-match
+    (Allow wins exact ties) of each URL's path against its host's
+    rules; hosts with no rules (or unparseable URLs) default to
+    allowed.
+
+    Scale shape: broadcast the rule table (host-count sized), fan out
+    urls x matching-host rules map-side, then ONE window over the
+    unique ``id_col`` picks the longest match — no skewed key (the
+    window key is the unique row id; fan-out is bounded by rules per
+    host), no join-back, the url stream shuffles once."""
+    from pyspark.sql import Window
+
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+    path0 = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    fanned = (
+        urls_df.withColumn("_host", host)
+        .withColumn("_path", path)
+        .join(F.broadcast(rules_df), F.col("_host") == rules_df["host"],
+              "left")
+        .withColumn(
+            "_hit",
+            F.when(F.expr("regexp_like(_path, rx)"),
+                   F.struct(F.col("plen"), F.col("allow"))),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_hit").isNotNull().desc(),
+        F.col("plen").desc_nulls_last(),
+        F.col("allow").desc_nulls_last(),
+    )
+    return (
+        fanned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn(
+            "allowed", F.coalesce(F.col("_hit.allow"), F.lit(True))
+        )
+        .drop("_host", "_path", "_hit", "_rn", "host", "allow", "plen", "rx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixtures (oracle-replayable arithmetic, the
+# with_synth_hosts convention from kgkit.operators.text_quality)
+# ---------------------------------------------------------------------------
+
+def with_messy_urls(docs):
+    """(doc_id, ...) -> + url: deterministic messy-variant URLs.
+
+    Resource id = doc_id div 2 (consecutive ids share a canonical
+    resource), variant form cycles by doc_id % 4 — covering scheme/host
+    case, default port, tracking params, unsorted query params; every
+    20th+1 doc gets a schemeless junk string (canonicalizes to NULL).
+    The SAME arithmetic is replayed by kgkit.oracles in SQL."""
+    rid = F.expr("doc_id div 2")
+    base = F.concat(F.lit("http://site.example.com/r/"), rid)
+    upper = F.concat(F.lit("HTTP://Site.Example.COM:80/r/"), rid,
+                     F.lit("?utm_source=feed"))
+    url = (
+        F.when(F.col("doc_id") % 20 == 1, F.lit("notaurl"))
+        .when(F.col("doc_id") % 4 == 0, base)
+        .when(F.col("doc_id") % 4 == 1, upper)
+        .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(base, F.lit("?a=1&b=2&fbclid=x9")))
+    )
+    return docs.withColumn("url", url)
+
+
+# one robots.txt per fixture host; h1 is deny-all-except-docs, h3 has
+# no robots at all (default allowed), the rest share the standard mix
+# of prefix rules, a longest-match Allow override, a wildcard and an
+# anchored extension rule
+SYNTH_ROBOTS = {
+    "h0.example.net": (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        "Disallow: /*.pdf$\nDisallow: /tmp/*\n"
+    ),
+    "h1.example.net": "User-agent: *\nDisallow: /\nAllow: /docs/\n",
+    "h2.example.net": (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        "Disallow: /*.pdf$\nDisallow: /tmp/*\n"
+    ),
+    "h4.example.net": (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        "Disallow: /*.pdf$\nDisallow: /tmp/*\n"
+    ),
+}
+
+
+def with_crawl_urls(docs):
+    """(doc_id, ...) -> + url over 5 hosts x 7 path families, chosen to
+    exercise every SYNTH_ROBOTS rule (prefix deny, longest-match allow,
+    wildcard, anchored $, deny-all host, robots-less host)."""
+    host = F.concat(F.lit("https://h"), F.col("doc_id") % 5,
+                    F.lit(".example.net"))
+    path = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("/public/a"), F.col("doc_id")))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.lit("/private/x"), F.col("doc_id")))
+        .when(F.col("doc_id") % 7 == 2,
+              F.concat(F.lit("/private/ok"), F.col("doc_id")))
+        .when(F.col("doc_id") % 7 == 3,
+              F.concat(F.lit("/files/r"), F.col("doc_id"), F.lit(".pdf")))
+        .when(F.col("doc_id") % 7 == 4,
+              F.concat(F.lit("/tmp/cache/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 7 == 5, F.lit("/"))
+        .otherwise(F.concat(F.lit("/docs/guide"), F.col("doc_id")))
+    )
+    return docs.withColumn("url", F.concat(host, path))
+
+
+def robots_rules_values_sql(user_agent: str = "*") -> str:
+    """SYNTH_ROBOTS as a DuckDB VALUES literal (host, allow, plen, rx) —
+    generated from the SAME parser + pattern compiler the Spark rule
+    table uses, so both engines evaluate identical regexes."""
+    rows = []
+    for host, body in sorted(SYNTH_ROBOTS.items()):
+        for allow, pat in RobotsRules(body, user_agent).rules:
+            rx = RobotsRules._pattern_to_re(pat).replace("'", "''")
+            rows.append(
+                f"('{host}', {'TRUE' if allow else 'FALSE'}, {len(pat)}, '{rx}')"
+            )
+    return "(VALUES " + ", ".join(rows) + ")"
 
 
 # ---------------------------------------------------------------------------

@@ -447,6 +447,319 @@ triples AS (
 _ODD = "('1','3','5','7','9','b','d','f')"
 
 
+# ---------------------------------------------------------------------------
+# crawl-hygiene fragments (url canonicalization, robots, messy fixture)
+# ---------------------------------------------------------------------------
+
+from kgkit.operators.urls import TRACKING_PARAMS as _TRACKING_PARAMS
+
+_TRACK_SQL = "|".join(_TRACKING_PARAMS)
+
+
+def _robots_values_sql() -> str:
+    from kgkit.operators.urls import robots_rules_values_sql
+
+    return robots_rules_values_sql()
+
+
+def _messy_url_expr() -> str:
+    """kgkit.operators.urls.with_messy_urls' arithmetic over doc_id."""
+    rid = "CAST(doc_id // 2 AS VARCHAR)"
+    return f"""CASE
+        WHEN doc_id % 20 = 1 THEN 'notaurl'
+        WHEN doc_id % 4 = 0 THEN 'http://site.example.com/r/' || {rid}
+        WHEN doc_id % 4 = 1 THEN 'HTTP://Site.Example.COM:80/r/' || {rid}
+             || '?utm_source=feed'
+        WHEN doc_id % 4 = 2 THEN 'http://site.example.com/r/' || {rid}
+             || '?b=2&a=1'
+        ELSE 'http://site.example.com/r/' || {rid} || '?a=1&b=2&fbclid=x9'
+    END"""
+
+
+def _canonical_url_select(src: str, url_col: str = "url") -> str:
+    """SELECT {src}.* + canonical_url — an independent DuckDB
+    re-implementation of kgkit.operators.urls.canonical_url_col
+    (lowercase scheme/host, userinfo + default port stripped, fragment
+    dropped, tracking params removed, remaining params sorted, empty
+    path -> '/', NULL for non-http(s)/invalid-port inputs)."""
+    return rf"""
+    SELECT * EXCLUDE (u2, scheme, chost, cport, rawpath, rawq, dport, kq),
+           CASE WHEN scheme IN ('http', 'https') AND chost != ''
+                 AND (cport = '' OR TRY_CAST(cport AS BIGINT) <= 65535)
+                THEN scheme || '://' ||
+                     (CASE WHEN cport = '' OR cport = dport THEN chost
+                           ELSE chost || ':' || cport END) ||
+                     (CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) ||
+                     (CASE WHEN kq = '' THEN '' ELSE '?' || kq END)
+           END AS canonical_url
+    FROM (
+        SELECT *,
+               CASE WHEN scheme = 'http' THEN '80' ELSE '443' END AS dport,
+               -- list_sort([]) is NULL in DuckDB; an empty kept-param
+               -- list must concatenate as '', not poison the canon
+               COALESCE(array_to_string(list_sort(list_filter(
+                   string_split(rawq, '&'),
+                   p -> p != '' AND NOT regexp_matches(lower(p),
+                        '^({_TRACK_SQL})(=|$)'))), '&'), '') AS kq
+        FROM (
+            SELECT *,
+                   lower(regexp_extract(u2,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(u2,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+                       1)) AS chost,
+                   regexp_extract(u2,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/@:?#]*:(\d+)',
+                       1) AS cport,
+                   regexp_extract(u2,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                       1) AS rawpath,
+                   regexp_extract(u2, '^[^#?]*\?([^#]*)', 1) AS rawq
+            FROM (SELECT *, trim({url_col}) AS u2 FROM {src})
+        )
+    )
+    """
+
+
+def _winnow_pairs_sql(k: int = 16, window: int = 8, min_shared: int = 2,
+                      max_bucket: int = 1000) -> str:
+    """Full replay of kgkit.operators.dedup winnow_fingerprints +
+    substring_dup_pairs: k-gram md5-prefix hashes, window struct-min
+    selection (struct comparison is lexicographic by field order on
+    both engines, fp first), per-doc distinct, fingerprint bucket cap,
+    byte verification at the selected positions."""
+    t = k + window - 1
+    return f"""
+    WITH {PLANTED_DOCS_CTE},
+    wd AS (SELECT doc_id, text FROM docs2 WHERE length(text) >= {t}),
+    hs AS (
+        SELECT doc_id,
+               list_transform(range(0, length(text) - {k} + 1),
+                   i -> {{'fp': ('0x' || substr(md5(substr(text,
+                                 CAST(i + 1 AS INT), {k})), 1, 7))::BIGINT,
+                          'pos': i}}) AS h
+        FROM wd
+    ),
+    wins AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(h) - {window} + 1),
+                   j -> list_aggregate(h[j+1:j+{window}], 'min'))) AS w
+        FROM hs
+    ),
+    fps AS (SELECT DISTINCT doc_id, w.fp AS fp, w.pos AS pos FROM wins),
+    keptfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_bucket}),
+    capped AS (SELECT fps.* FROM fps JOIN keptfp USING (fp)),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fp,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT c.doc_a, c.doc_b, c.fp
+        FROM cand c
+        JOIN docs2 ta ON ta.doc_id = c.doc_a
+        JOIN docs2 tb ON tb.doc_id = c.doc_b
+        WHERE substr(ta.text, CAST(c.pos_a + 1 AS INT), {k})
+            = substr(tb.text, CAST(c.pos_b + 1 AS INT), {k})
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_shared
+    FROM ver GROUP BY doc_a, doc_b
+    HAVING count(DISTINCT fp) >= {min_shared}
+    """
+
+
+def _lm_ppl_sql() -> str:
+    """Replay of relational_bigram_lm + lm_score_exact + ppl_tertiles:
+    LM probabilities as one division of exact integers (bit-identical
+    across engines), per-pair -log2 p on the 1e-6 BIGINT grid, exact
+    ntile tertiles.  The float literals print via repr (shortest
+    round-trip), so '0.30000000000000004' parses back to the exact
+    double Spark's F.lit(1 - LAMBDA) carries."""
+    from kgkit.operators.lm_quality import LAMBDA, OOV_P
+
+    return f"""
+    WITH alldocs AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    seedw AS (
+        SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+        FROM alldocs WHERE doc_id % 10 = 0
+    ),
+    uni_c AS (SELECT w, count(*) AS c FROM seedw GROUP BY w),
+    tot AS (SELECT sum(c) AS t_total, count(*) AS v_size FROM uni_c),
+    uni AS (
+        SELECT w, (2 * c + 1) / (2 * t_total + v_size) AS p_uni
+        FROM uni_c CROSS JOIN tot
+    ),
+    bi_c AS (
+        SELECT a.w AS prev, b.w AS w, count(*) AS c
+        FROM seedw a JOIN seedw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ),
+    bi AS (
+        SELECT bi_c.prev, bi_c.w, (2 * bi_c.c + 1) / (2 * u.c + v_size) AS p_bi
+        FROM bi_c JOIN uni_c u ON u.w = bi_c.prev CROSS JOIN tot
+    ),
+    docw AS (
+        SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+        FROM alldocs
+    ),
+    pairs AS (
+        SELECT a.doc_id, a.w AS prev, b.w AS w
+        FROM docw a JOIN docw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    nl AS (
+        SELECT p.doc_id,
+               CAST(round(-log2({LAMBDA!r} * COALESCE(bi.p_bi, 0.0)
+                    + {1 - LAMBDA!r} * COALESCE(uni.p_uni, {OOV_P!r}))
+                    * 1000000) AS BIGINT) AS nl_q
+        FROM pairs p
+        LEFT JOIN bi ON bi.prev = p.prev AND bi.w = p.w
+        LEFT JOIN uni ON uni.w = p.w
+    ),
+    agg AS (SELECT doc_id, sum(nl_q) AS s, count(*) AS n FROM nl GROUP BY doc_id),
+    sc AS (
+        SELECT d.doc_id,
+               COALESCE(round(a.s / (a.n * 1000000.0), 6), 20.0) AS lm_log2ppl
+        FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lm_log2ppl,
+           CASE ntile(3) OVER (ORDER BY lm_log2ppl, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM sc
+    """
+
+
+def _gopher_sql(src: str) -> str:
+    """Gopher rule battery over {src}(doc_id, text) — shared verbatim by
+    the quality_gopher oracle and corpus_clean_accounting stage 4."""
+    return f"""
+        SELECT *, CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+                             AND mean_word_len BETWEEN 3.0 AND 10.0
+                             AND symbol_ratio <= 0.1
+                             AND frac_alpha_words >= 0.8
+                             AND n_stopwords >= 2
+                             AND frac_bullet_lines <= 0.9
+                             AND frac_ellipsis_lines <= 0.3
+                        THEN 1 ELSE 0 END AS INT) AS keep
+        FROM (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   round(list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                         / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+                   round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                         / CAST(len(w) AS DOUBLE), 6) AS frac_alpha_words,
+                   CAST(len(list_filter(w, x -> x IN ('the','be','to','of',
+                        'and','that','have','with','a','in'))) AS BIGINT)
+                       AS n_stopwords,
+                   round((len(regexp_extract_all(text, '#'))
+                          + len(regexp_extract_all(text, '\\.\\.\\.')))
+                         / CAST(len(w) AS DOUBLE), 6) AS symbol_ratio,
+                   round(len(list_filter(lines,
+                             l -> regexp_matches(l, '^[-*•]')))
+                         / CAST(len(lines) AS DOUBLE), 6) AS frac_bullet_lines,
+                   round(len(list_filter(lines,
+                             l -> regexp_matches(l, '\\.\\.\\.$')))
+                         / CAST(len(lines) AS DOUBLE), 6)
+                       AS frac_ellipsis_lines
+            FROM (
+                SELECT doc_id, text,
+                       string_split(text, ' ') AS w,
+                       string_split(text, chr(10)) AS lines
+                FROM {src}
+            )
+        )
+    """
+
+
+def _corpus_clean_sql() -> str:
+    """Stage-by-stage replay of kgkit.operators.corpus_clean
+    clean_corpus over the accounting fixture (planted near-dup copies
+    +100000, exact copies +200000 for doc_id % 9, messy urls):
+    canonical-URL keep-min-id, md5 keep-min-id, MinHash+LSH greedy
+    right-drop at threshold 0.5 (the dedup_minhash_lsh fragments run
+    over the s2 survivors, which is why that CTE is named docs2), then
+    the Gopher keep flag."""
+    return f"""
+    WITH cc0 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               text || ' near duplicate suffix tail' AS text
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id, text
+        FROM documents WHERE doc_id % 9 = 0
+    ),
+    ccu AS (SELECT doc_id, text, {_messy_url_expr()} AS url FROM cc0),
+    ccanon AS ({_canonical_url_select('ccu')}),
+    k1 AS (
+        SELECT doc_id, text,
+               COALESCE(canonical_url, url,
+                        'doc://' || CAST(doc_id AS VARCHAR)) AS k
+        FROM ccanon
+    ),
+    s1 AS (SELECT doc_id, text FROM k1
+           QUALIFY doc_id = min(doc_id) OVER (PARTITION BY k)),
+    s2 AS (SELECT doc_id, text FROM s1
+           QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+    docs2 AS (SELECT doc_id, text FROM s2),
+    {SHINGLED_CTE},
+    dig AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   AS d
+        FROM shingled
+    ),
+    signed AS (SELECT doc_id, sh, {_minhash_cols_sql()} FROM dig),
+    bandt AS ({_bands_sql()}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandt a JOIN bandt b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+               len(sa.sh) AS n_a, len(sb.sh) AS n_b
+        FROM cand c
+        JOIN shingled sa ON sa.doc_id = c.doc_a
+        JOIN shingled sb ON sb.doc_id = c.doc_b
+    ),
+    drops AS (
+        SELECT DISTINCT greatest(doc_a, doc_b) AS doc_id FROM ver
+        WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+    ),
+    s3 AS (SELECT s2.doc_id, s2.text FROM s2
+           WHERE s2.doc_id NOT IN (SELECT doc_id FROM drops)),
+    g AS ({_gopher_sql('s3')}),
+    s4 AS (SELECT doc_id FROM g WHERE keep = 1),
+    cnt AS (
+        SELECT (SELECT count(*) FROM cc0) AS input,
+               (SELECT count(*) FROM s1) AS after_url_dedup,
+               (SELECT count(*) FROM s2) AS after_exact_dedup,
+               (SELECT count(*) FROM s3) AS after_near_dedup,
+               (SELECT count(*) FROM s4) AS after_quality
+    )
+    SELECT CAST(input AS BIGINT) AS input,
+           CAST(after_url_dedup AS BIGINT) AS after_url_dedup,
+           CAST(after_exact_dedup AS BIGINT) AS after_exact_dedup,
+           CAST(after_near_dedup AS BIGINT) AS after_near_dedup,
+           CAST(after_quality AS BIGINT) AS after_quality,
+           CAST(input - after_url_dedup AS BIGINT) AS dropped_url_dedup,
+           CAST(after_url_dedup - after_exact_dedup AS BIGINT) AS dropped_exact,
+           CAST(after_exact_dedup - after_near_dedup AS BIGINT)
+               AS dropped_near_dup,
+           CAST(after_near_dedup - after_quality AS BIGINT) AS dropped_quality
+    FROM cnt
+    """
+
+
 def _nfc_oracle_sql() -> str:
     from kgkit.operators.text_quality import (
         NFD_EVERY,
@@ -517,17 +830,6 @@ def _bands_sql(bands: int = 4, rows: int = 2) -> str:
             f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM signed"
         )
     return " UNION ALL ".join(selects)
-
-
-def _simhash_sql(bits: int = 16) -> str:
-    terms = []
-    for j in range(bits):
-        terms.append(
-            f"(CASE WHEN list_sum(list_transform(string_split(text, ' '), "
-            f"w -> CASE WHEN substr(md5(w), {j + 1}, 1) IN {_ODD} "
-            f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** j} ELSE 0 END)"
-        )
-    return " + ".join(terms)
 
 
 def _hyperplane_bucket_sql(vec_expr: str, planes: int = 4, dim: int = 64) -> str:
@@ -799,26 +1101,6 @@ ORACLES = {
                    AS asr_changed
         FROM r
     """,
-    "asr_abidance": f"""
-        WITH {WORDS_CTE}, {MARKED_CTE}, {EVAL_ST_CTE},
-        a AS (
-            SELECT pred_tag,
-                   lag(pred_tag) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
-            FROM st
-        ),
-        c AS (
-            SELECT CASE WHEN pred_tag LIKE 'I-%'
-                         AND (pv IS NULL OR pv NOT IN
-                              ('B-' || regexp_extract(pred_tag, '([^-]+)$', 1),
-                               'I-' || regexp_extract(pred_tag, '([^-]+)$', 1)))
-                        THEN 1 ELSE 0 END AS chg
-            FROM a
-        )
-        SELECT round(1 - avg(chg), 6) AS abidance,
-               CAST(sum(chg) AS BIGINT) AS n_repaired,
-               CAST(count(*) AS BIGINT) AS n_tokens
-        FROM c
-    """,
     # A9: per-subset micro P/R/F1 at both levels, reference failure
     # codes (-1) included — the oracle twin of metrics_fanout_df
     "eval_fanout": f"""
@@ -1006,31 +1288,6 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n
         FROM scored GROUP BY 1, 2
     """,
-    "token_count": """
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-               CAST(len(text) AS BIGINT) AS n_chars,
-               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-                   AS n_distinct_words
-        FROM documents
-    """,
-    "quality_score": """
-        WITH q AS (
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_words,
-                   len(list_filter(string_split(text, ' '),
-                                   w -> w IN ('the', 'a'))) AS n_stop,
-                   len(list_distinct(string_split(text, ' '))) AS n_distinct
-            FROM documents
-        )
-        SELECT doc_id,
-               round(n_stop / CAST(n_words AS DOUBLE), 6) AS stopword_ratio,
-               round(n_distinct / CAST(n_words AS DOUBLE), 6) AS ttr,
-               CAST(CASE WHEN n_words >= 30
-                          AND n_distinct / CAST(n_words AS DOUBLE) > 0.3
-                         THEN 1 ELSE 0 END AS INT) AS keep
-        FROM q
-    """,
     "token_count_bpe": """
         WITH toks AS (
             SELECT doc_id, len(text) AS n_chars_t,
@@ -1047,44 +1304,7 @@ ORACLES = {
                END AS chars_per_token
         FROM toks
     """,
-    "quality_gopher": """
-        WITH q AS (
-            SELECT doc_id, text,
-                   string_split(text, ' ') AS w,
-                   string_split(text, chr(10)) AS lines
-            FROM documents
-        ), s AS (
-            SELECT doc_id,
-                   CAST(len(w) AS BIGINT) AS n_words,
-                   round(list_aggregate(list_transform(w, x -> len(x)), 'sum')
-                         / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
-                   round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-                         / CAST(len(w) AS DOUBLE), 6) AS frac_alpha_words,
-                   CAST(len(list_filter(w, x -> x IN ('the','be','to','of',
-                        'and','that','have','with','a','in'))) AS BIGINT)
-                       AS n_stopwords,
-                   round((len(regexp_extract_all(text, '#'))
-                          + len(regexp_extract_all(text, '\\.\\.\\.')))
-                         / CAST(len(w) AS DOUBLE), 6) AS symbol_ratio,
-                   round(len(list_filter(lines,
-                             l -> regexp_matches(l, '^[-*•]')))
-                         / CAST(len(lines) AS DOUBLE), 6) AS frac_bullet_lines,
-                   round(len(list_filter(lines,
-                             l -> regexp_matches(l, '\\.\\.\\.$')))
-                         / CAST(len(lines) AS DOUBLE), 6)
-                       AS frac_ellipsis_lines
-            FROM q
-        )
-        SELECT *, CAST(CASE WHEN n_words BETWEEN 30 AND 100000
-                             AND mean_word_len BETWEEN 3.0 AND 10.0
-                             AND symbol_ratio <= 0.1
-                             AND frac_alpha_words >= 0.8
-                             AND n_stopwords >= 2
-                             AND frac_bullet_lines <= 0.9
-                             AND frac_ellipsis_lines <= 0.3
-                        THEN 1 ELSE 0 END AS INT) AS keep
-        FROM s
-    """,
+    "quality_gopher": _gopher_sql("documents"),
     "repetition_ngrams": """
         WITH d AS (
             SELECT doc_id, text, string_split(text, ' ') AS w
@@ -1167,23 +1387,6 @@ ORACLES = {
     # the planted NFD suffix literal is generated from the SAME
     # constant the Spark fixture uses (text_quality.NFD_SUFFIX)
     "unicode_nfc": _nfc_oracle_sql(),
-    "doc_fingerprint": """
-        WITH shingles AS (
-            SELECT doc_id,
-                   word || ' ' || lead(word, 1) OVER w || ' ' ||
-                   lead(word, 2) OVER w AS shingle
-            FROM (
-                SELECT doc_id,
-                       unnest(string_split(text, ' ')) AS word,
-                       generate_subscripts(string_split(text, ' '), 1) AS pos
-                FROM documents
-            )
-            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-            QUALIFY lead(word, 2) OVER w IS NOT NULL
-        )
-        SELECT doc_id, min(md5(shingle)) AS fingerprint
-        FROM shingles GROUP BY doc_id
-    """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
                CAST(count(*) AS BIGINT) AS n_copies,
@@ -1271,21 +1474,6 @@ ORACLES = {
                CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
         FROM documents GROUP BY 1
-    """,
-    "media_frame_sample": """
-        WITH f AS (
-            SELECT 'doc://' || doc_id AS url, text,
-                   CAST(floor(strlen(text) / 64) AS INT) AS n_frames
-            FROM documents
-        ),
-        idx AS (
-            SELECT url, text, unnest(range(0, n_frames)) AS frame_idx
-            FROM f WHERE n_frames > 0
-        )
-        SELECT url, CAST(frame_idx AS BIGINT) AS frame_idx,
-               md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64))
-                   AS frame_digest
-        FROM idx WHERE frame_idx % 4 = 0
     """,
     # html == utf-8 bytes of text, and the corpus is ASCII-only
     # ([a-z ] words): per-character codepoints == per-byte values, so
@@ -1458,11 +1646,6 @@ ORACLES = {
         FROM ver
         WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
     """,
-    "dedup_simhash": f"""
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               CAST({_simhash_sql()} AS BIGINT) AS simhash
-        FROM documents
-    """,
     "dedup_ngram_jaccard": f"""
         WITH {PLANTED_DOCS_CTE}, {SHINGLED_CTE},
         ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
@@ -1535,56 +1718,99 @@ ORACLES = {
         ) WHERE rnk <= 3
     """,
     "ann_topk_ivf_kmeans": _ivf_kmeans_sql(),
-    "ann_topk_ivf": """
-        WITH corpus AS (
-            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
-            FROM embeddings WHERE vec_id >= 10
+    "substring_dup_winnow": _winnow_pairs_sql(),
+    "lm_ppl_buckets": _lm_ppl_sql(),
+    "corpus_clean_accounting": _corpus_clean_sql(),
+    # the canonicalizer re-implemented in DuckDB (regexp + list ops) —
+    # an INDEPENDENT engine value-checks the JVM column expression
+    "url_canonical_dedup": f"""
+        WITH m AS (SELECT doc_id, {_messy_url_expr()} AS url FROM documents),
+        c AS ({_canonical_url_select('m')})
+        SELECT canonical_url,
+               CAST(count(*) AS BIGINT) AS n_variants,
+               string_agg(url, '|' ORDER BY url) AS variants_str
+        FROM c WHERE canonical_url IS NOT NULL
+        GROUP BY canonical_url
+    """,
+    # RFC 9309 longest-match (Allow wins ties) replayed as a ranking
+    # window; regexes compiled by the SAME python pattern compiler the
+    # Spark rule table uses (urls.robots_rules_values_sql)
+    "robots_filter": f"""
+        WITH u AS (
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.net'
+                       AS chost,
+                   CASE WHEN doc_id % 7 = 0
+                             THEN '/public/a' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 7 = 1
+                             THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 7 = 2
+                             THEN '/private/ok' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 7 = 3
+                             THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'
+                        WHEN doc_id % 7 = 4
+                             THEN '/tmp/cache/' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 7 = 5 THEN '/'
+                        ELSE '/docs/guide' || CAST(doc_id AS VARCHAR)
+                   END AS cpath
+            FROM documents
         ),
-        queries AS (
-            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-            FROM embeddings WHERE vec_id < 10
+        r AS (SELECT * FROM {_robots_values_sql()} t(host, allow, plen, rx)),
+        m AS (
+            SELECT u.doc_id, 'https://' || u.chost || u.cpath AS url,
+                   r.allow, r.plen,
+                   COALESCE(r.rx IS NOT NULL
+                            AND regexp_matches(u.cpath, r.rx), FALSE) AS hit
+            FROM u LEFT JOIN r ON u.chost = r.host
         ),
-        cents AS (
-            SELECT neighbor_id AS cell, ce AS cell_emb
-            FROM corpus ORDER BY neighbor_id LIMIT 8
-        ),
-        cassign AS (
-            SELECT neighbor_id, ce, cell FROM (
-                SELECT c.neighbor_id, c.ce, t.cell,
-                       row_number() OVER (
-                           PARTITION BY c.neighbor_id
-                           ORDER BY list_dot_product(c.ce, t.cell_emb)
-                                 / (sqrt(list_dot_product(c.ce, c.ce))
-                                  * sqrt(list_dot_product(t.cell_emb, t.cell_emb)))
-                                 DESC, t.cell ASC) AS crnk
-                FROM corpus c CROSS JOIN cents t
-            ) WHERE crnk <= 1
-        ),
-        qassign AS (
-            SELECT query_id, qe, cell FROM (
-                SELECT q.query_id, q.qe, t.cell,
-                       row_number() OVER (
-                           PARTITION BY q.query_id
-                           ORDER BY list_dot_product(q.qe, t.cell_emb)
-                                 / (sqrt(list_dot_product(q.qe, q.qe))
-                                  * sqrt(list_dot_product(t.cell_emb, t.cell_emb)))
-                                 DESC, t.cell ASC) AS crnk
-                FROM queries q CROSS JOIN cents t
-            ) WHERE crnk <= 2
-        ),
-        scored AS (
-            SELECT query_id, neighbor_id,
-                   max(round(list_dot_product(qe, ce)
-                       / (sqrt(list_dot_product(qe, qe))
-                        * sqrt(list_dot_product(ce, ce))), 6)) AS cos
-            FROM qassign q JOIN cassign c USING (cell)
-            GROUP BY query_id, neighbor_id
+        best AS (
+            SELECT doc_id, url, CASE WHEN hit THEN allow END AS a,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY hit DESC, plen DESC NULLS LAST,
+                                allow DESC NULLS LAST) AS rn
+            FROM m
         )
-        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-            FROM scored
-        ) WHERE rnk <= 3
+        SELECT doc_id, url, CAST(COALESCE(a, TRUE) AS INT) AS allowed
+        FROM best WHERE rn = 1
+    """,
+    # exact replay of the md5 hash-threshold draw (hash_fn='md5' mode)
+    "sample_mixture": """
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN 'head'
+                        WHEN doc_id % 4 = 1 THEN 'middle'
+                        WHEN doc_id % 4 = 2 THEN 'skip'
+                        ELSE 'tail' END AS tier
+            FROM documents
+        ),
+        u AS (
+            SELECT doc_id, tier,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 7))
+                       ::BIGINT % 1000000 AS u
+            FROM t WHERE tier IN ('head', 'middle', 'tail')
+        ),
+        n AS (
+            SELECT doc_id, tier,
+                   (CASE tier WHEN 'head' THEN 2 WHEN 'middle' THEN 1
+                              ELSE 0 END)
+                   + (CASE WHEN u < (CASE tier WHEN 'head' THEN 300000
+                                     WHEN 'tail' THEN 250000 ELSE 0 END)
+                           THEN 1 ELSE 0 END) AS n
+            FROM u
+        )
+        SELECT doc_id, tier, CAST(unnest(range(1, n + 1)) AS INT) AS replica
+        FROM n WHERE n >= 1
+    """,
+    # the fixture wraps each doc as title+body HTML, so the whole WARC
+    # framing -> HTTP split -> HTML->text chain must reproduce
+    # 'doc {id} {text}' byte-exactly
+    "warc_pages": """
+        SELECT 'https://w' || CAST(doc_id % 8 AS VARCHAR) || '.example.org/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CAST(length('doc ' || CAST(doc_id AS VARCHAR) || ' ' || text)
+                   AS BIGINT) AS n_chars,
+               md5('doc ' || CAST(doc_id AS VARCHAR) || ' ' || text)
+                   AS text_md5
+        FROM documents
     """,
 }

@@ -245,18 +245,6 @@ def _asr_corrected_q(spark, sf_dir):
     )
 
 
-def _asr_abidance_q(spark, sf_dir):
-    """A6 abidance = fraction of tags that needed no repair
-    (tags.py:224-266), as one corpus-level aggregate row."""
-    from kgkit.metrics.ner_metrics import asr_corrected
-
-    return asr_corrected(_ner_eval_stream(spark, sf_dir), "bio").agg(
-        F.round(1 - F.avg("asr_changed"), 6).alias("abidance"),
-        F.sum("asr_changed").cast("long").alias("n_repaired"),
-        F.count("*").cast("long").alias("n_tokens"),
-    )
-
-
 def _eval_fanout_q(spark, sf_dir):
     """A9 metric fan-out as a distributed DataFrame: per-subset micro
     P/R/F1 rows at both levels (kgkit.metrics.ner_metrics
@@ -321,32 +309,6 @@ def _lang_id_q(spark, sf_dir):
     )
 
 
-def _token_count_q(spark, sf_dir):
-    docs = _documents(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.expr("size(split(text, ' '))").cast("long").alias("n_words"),
-        F.length("text").cast("long").alias("n_chars"),
-        F.expr("size(array_distinct(split(text, ' ')))").cast("long")
-        .alias("n_distinct_words"),
-    )
-
-
-def _quality_score_q(spark, sf_dir):
-    docs = _documents(spark, sf_dir)
-    n_words = F.expr("size(split(text, ' '))")
-    n_stop = F.expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))")
-    n_distinct = F.expr("size(array_distinct(split(text, ' ')))")
-    ttr = n_distinct / n_words.cast("double")
-    return docs.select(
-        "doc_id",
-        F.round(n_stop / n_words.cast("double"), 6).alias("stopword_ratio"),
-        F.round(ttr, 6).alias("ttr"),
-        F.when((n_words >= 30) & (ttr > 0.3), 1).otherwise(0)
-        .cast("int").alias("keep"),
-    )
-
-
 def _token_count_bpe_q(spark, sf_dir):
     """Token counting with a BPE-ish pretokenizer regex (lookahead-free
     GPT-2 pattern shared verbatim with the DuckDB oracle)."""
@@ -405,19 +367,6 @@ def _unicode_nfc_q(spark, sf_dir):
     )
 
 
-def _doc_fingerprint_q(spark, sf_dir):
-    """Winnowing-style fingerprint: min md5 over word 3-gram shingles —
-    pure column expressions, zero shuffle."""
-    docs = _documents(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.expr(
-            "array_min(transform(sequence(0, size(split(text,' ')) - 3), "
-            "i -> md5(concat_ws(' ', slice(split(text,' '), i + 1, 3)))))"
-        ).alias("fingerprint"),
-    )
-
-
 def _planted_docs(spark, sf_dir):
     from kgkit.operators.dedup import planted_near_dups
 
@@ -452,14 +401,6 @@ def _dedup_incremental_q(spark, sf_dir):
     )
 
 
-def _dedup_simhash_q(spark, sf_dir):
-    from kgkit.operators.dedup import simhash
-
-    return simhash(_documents(spark, sf_dir).select("doc_id", "text")).select(
-        F.col("doc_id").cast("long"), F.col("simhash").cast("long")
-    )
-
-
 def _dedup_ngram_jaccard_q(spark, sf_dir):
     """Exact inverted-index n-gram Jaccard on the planted corpus."""
     from kgkit.operators.dedup import ngram_jaccard_pairs
@@ -484,22 +425,6 @@ def _dedup_embedding_q(spark, sf_dir):
     d = embedding_near_dups(_planted_embeddings(spark, sf_dir))
     return d.select(
         F.col("vec_a").cast("long"), F.col("vec_b").cast("long"), "cos"
-    )
-
-
-def _ann_topk_ivf_q(spark, sf_dir):
-    """IVF-bucketed ANN (coarse quantizer + in-cell exact search)."""
-    from kgkit.operators.similarity import ivf_topk
-
-    emb = _embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    corpus = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
-    )
-    return ivf_topk(queries, corpus, k=3).select(
-        F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"), "rank"
     )
 
 
@@ -554,16 +479,6 @@ def _media_stats_q(spark, sf_dir):
         F.count("*").cast("long").alias("n_files"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.countDistinct("digest").cast("long").alias("n_distinct"),
-    )
-
-
-def _media_frame_sample_q(spark, sf_dir):
-    """Frame-sampling arithmetic over binary payloads (every 4th 64-byte
-    frame, per-frame digest)."""
-    from kgkit.operators.multimodal import frame_sample
-
-    return frame_sample(load_pages(spark, sf_dir)).select(
-        "url", "frame_idx", "frame_digest"
     )
 
 
@@ -662,6 +577,156 @@ def _iob1_roundtrip_q(spark, sf_dir):
     return t.select(
         "url", "pos", "tag_iob1", tag_iob2.alias("tag_iob2"),
         (tag_iob2 == F.col("tag")).alias("roundtrip_ok"),
+    )
+
+
+def _substring_dup_winnow_q(spark, sf_dir):
+    """Winnowing substring dedup (Schleimer/Wilkerson/Aiken) over the
+    planted corpus: selected-fingerprint equi-join with the max_bucket
+    skew cap + byte verification at the surviving positions.  The
+    DuckDB oracle replays the whole construction (k-gram md5 prefix
+    hashes, window struct-min selection, cap, substring verify)."""
+    from kgkit.operators.dedup import substring_dup_pairs
+
+    d = substring_dup_pairs(_planted_docs(spark, sf_dir))
+    return d.select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
+        F.col("n_shared").cast("long"),
+    )
+
+
+def _url_canonical_dedup_q(spark, sf_dir):
+    """URL-level dedup over the deterministic messy-variant fixture
+    (kgkit.operators.urls.with_messy_urls): case/port/tracking-param/
+    param-order variants collapse onto one canonical key; junk URLs
+    canonicalize to NULL and drop.  The oracle RE-IMPLEMENTS the
+    canonicalizer in DuckDB SQL (regexp + list ops), value-checking the
+    JVM expression against an independent engine.  ``variants``
+    serializes to a '|'-joined sorted string (array columns don't
+    survive the driver's cross-engine hash compare; fixture urls are
+    distinct per row, so count(*) == count(distinct))."""
+    from kgkit.operators.urls import url_dedup_keys, with_messy_urls
+
+    d = with_messy_urls(_documents(spark, sf_dir).select("doc_id"))
+    return url_dedup_keys(d).select(
+        "canonical_url",
+        F.col("n_variants").cast("long").alias("n_variants"),
+        F.array_join("variants", "|").alias("variants_str"),
+    )
+
+
+def _robots_filter_q(spark, sf_dir):
+    """Distributed robots.txt application (RFC 9309 longest-match,
+    Allow wins ties): broadcast per-host rule table, map-side fan-out,
+    one window on the unique doc_id — kgkit.operators.urls
+    robots_apply over the 5-host x 7-path crawl fixture.  The oracle
+    replays the longest-match ranking in SQL with regexes compiled by
+    the SAME python pattern compiler."""
+    from kgkit.operators.urls import (
+        SYNTH_ROBOTS,
+        robots_apply,
+        robots_rules_df,
+        with_crawl_urls,
+    )
+
+    urls = with_crawl_urls(_documents(spark, sf_dir).select("doc_id"))
+    rules = robots_rules_df(spark, SYNTH_ROBOTS)
+    return robots_apply(urls, rules).select(
+        F.col("doc_id").cast("long"), "url",
+        F.col("allowed").cast("int").alias("allowed"),
+    )
+
+
+def _lm_ppl_buckets_q(spark, sf_dir):
+    """CCNet-style LM perplexity scoring end to end, cross-engine
+    exact: the bigram LM is built RELATIONALLY from the seed corpus
+    (docs with doc_id % 10 == 0; add-1/2 smoothing as one division of
+    exact integers), scoring is the broadcast-join pair stream with
+    per-pair -log2 p quantized to the 1e-6 BIGINT grid and SUMmed
+    (order-independent), buckets are exact ntile(3) tertiles.  The
+    oracle recomputes LM training AND scoring from the same parquet in
+    SQL — no model file crosses engines."""
+    from kgkit.operators.lm_quality import (
+        lm_score_exact,
+        ppl_tertiles,
+        relational_bigram_lm,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    uni, bi = relational_bigram_lm(docs.filter(F.col("doc_id") % 10 == 0))
+    return ppl_tertiles(lm_score_exact(docs, uni, bi)).select(
+        F.col("doc_id").cast("long"), "lm_log2ppl", "ppl_bucket"
+    )
+
+
+def _sample_mixture_q(spark, sf_dir):
+    """Deterministic data mixing (kgkit.operators.sampling
+    mixture_sample): per-tier rates with epoch oversampling (head 2.3x
+    -> 2 copies + Bernoulli(0.3) third), plain keep (middle 1.0),
+    subsample (tail 0.25), whitelist drop ('skip' absent from rates) —
+    one generator expression over a pushed-down hash predicate.  Uses
+    the md5 hash mode so the oracle replays the exact draw (DuckDB has
+    no xxhash64)."""
+    from kgkit.operators.sampling import mixture_sample
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    tier = (
+        F.when(F.col("doc_id") % 4 == 0, "head")
+        .when(F.col("doc_id") % 4 == 1, "middle")
+        .when(F.col("doc_id") % 4 == 2, "skip")
+        .otherwise("tail")
+    )
+    out = mixture_sample(
+        docs.withColumn("tier", tier),
+        {"head": 2.3, "middle": 1.0, "tail": 0.25},
+        "tier", seed=1, hash_fn="md5",
+    )
+    return out.select(
+        F.col("doc_id").cast("long"), "tier", F.col("replica").cast("int")
+    )
+
+
+def _warc_pages_q(spark, sf_dir):
+    """WARC ingestion end to end: a deterministic crawl fixture derived
+    from the documents table (synth_warc_fixture: 8 segment files,
+    HTML-wrapped text, 404/text-plain distractors) through the
+    binaryFile + Arrow parse + JVM HTML->text path.  The oracle
+    recomputes the expected visible text ('doc {id} {text}') straight
+    from documents — the whole framing/HTTP-split/extraction chain must
+    reproduce it byte-exactly."""
+    from kgkit.sources.warc import synth_warc_fixture, warc_pages
+
+    glob = synth_warc_fixture(spark, sf_dir)
+    return warc_pages(spark, glob).select(
+        "url",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _corpus_clean_accounting_q(spark, sf_dir):
+    """The COMPOSED corpus cleaner's per-stage accounting as one row:
+    planted URL variants (messy-url fixture), exact copies
+    (doc_id % 9 -> +200000), near-dup copies (planted +100000) and
+    low-quality docs flow through clean_corpus; the oracle recomputes
+    all four stage boundaries (canonical-URL dedup, md5 dedup,
+    MinHash+LSH greedy right-drop, Gopher keep) in SQL.  The returned
+    frame is the stats dict (counts — driver-side by definition)."""
+    from kgkit.operators.corpus_clean import clean_corpus
+    from kgkit.operators.urls import with_messy_urls
+
+    base = _documents(spark, sf_dir).select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    docs3 = with_messy_urls(
+        _planted_docs(spark, sf_dir).unionByName(exact)
+    ).select("doc_id", "url", "text")
+    _, stats = clean_corpus(docs3)
+    keys = sorted(stats)
+    return spark.createDataFrame(
+        [tuple(int(stats[k]) for k in keys)],
+        ", ".join(f"{k} long" for k in keys),
     )
 
 
@@ -789,7 +854,26 @@ def _q10_q(spark, sf_dir):
     )
 
 
+# Registry size is capped at 50 ON PURPOSE: the driver's correctness
+# gate checks the first 50 entries, and round 3 proved entries past
+# that fall silently outside the check window.  FOLD, DON'T APPEND: a
+# new query must replace the least-informative member of its family
+# (per-family headroom notes below).  Retired so far — each subsumed
+# by a richer survivor in the same family:
+#   ann_topk (brute force)  -> ann_topk_lsh/ivf_kmeans (r3)
+#   q5/q6 (TPC-H)           -> q3/q10 (r3)
+#   token_count             -> token_count_bpe (r5)
+#   quality_score           -> quality_gopher (r5)
+#   doc_fingerprint         -> substring_dup_winnow (r5, full winnowing)
+#   dedup_simhash           -> MinHash/jaccard/winnow family (r5;
+#                              simhash op + tests remain in dedup.py)
+#   media_frame_sample      -> media_byte_histogram (r5)
+#   ann_topk_ivf            -> ann_topk_ivf_kmeans (r5, real quantizer)
+#   asr_abidance            -> asr_corrected_bio (r5; the aggregate is
+#                              a projection of the full stream)
 QUERIES = {
+    # -- KG pipeline (stages 1-4): headroom = none, every row is a
+    #    distinct pipeline stage gate
     "kg_mentions": _mentions_q,
     "kg_mentions_sp": _mentions_sp_q,
     "kg_mentions_nn": _mentions_nn_q,
@@ -799,41 +883,54 @@ QUERIES = {
     "kg_canonical": _canonical_q,
     "kg_triples": _triples_q,
     "kg_entity_counts": _entity_counts_q,
+    # -- tag algebra / metrics: fold next into asr_corrected_bio or the
+    #    scheme-conversion rows (lag-window family)
     "word_tags_bio": _word_tags_q,
     "label_set": _label_set_q,
     "ner_token_confusion": _ner_token_confusion_q,
     "ner_entity_prf": _ner_entity_prf_q,
     "asr_corrected_bio": _asr_corrected_q,
-    "asr_abidance": _asr_abidance_q,
     "eval_fanout": _eval_fanout_q,
     "dataset_stats": _dataset_stats_q,
     "split_phases": _split_phases_q,
+    # -- text quality battery: fold next into quality_gopher (rule
+    #    batteries) or lm_ppl_buckets (model scoring)
     "lang_id": _lang_id_q,
-    "token_count": _token_count_q,
-    "quality_score": _quality_score_q,
     "token_count_bpe": _token_count_bpe_q,
     "quality_gopher": _quality_gopher_q,
     "repetition_ngrams": _repetition_ngrams_q,
     "pii_scrub": _pii_scrub_q,
-    "doc_fingerprint": _doc_fingerprint_q,
     "unicode_nfc": _unicode_nfc_q,
     "host_stats": _host_stats_q,
+    "lm_ppl_buckets": _lm_ppl_buckets_q,
+    # -- dedup family: exact / whole-doc-near / substring; fold next
+    #    into the member sharing its candidate-generation scheme
     "dedup_exact": _dedup_exact_q,
     "dedup_minhash_lsh": _dedup_minhash_q,
     "dedup_incremental": _dedup_incremental_q,
-    "dedup_simhash": _dedup_simhash_q,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard_q,
     "dedup_embedding_cosine": _dedup_embedding_q,
+    "substring_dup_winnow": _substring_dup_winnow_q,
+    # -- ANN: two candidate schemes (sign-LSH, trained IVF)
     "ann_topk_lsh": _ann_topk_lsh_q,
-    "ann_topk_ivf": _ann_topk_ivf_q,
     "ann_topk_ivf_kmeans": _ann_topk_ivf_kmeans_q,
+    # -- multimodal binary columns
     "media_stats": _media_stats_q,
-    "media_frame_sample": _media_frame_sample_q,
     "media_byte_histogram": _media_byte_histogram_q,
+    # -- sources / ingestion roundtrips
     "hf_pretokenized_ingest": _hf_pretokenized_ingest_q,
     "hf_charspan_ingest": _hf_charspan_ingest_q,
+    "warc_pages": _warc_pages_q,
+    # -- crawl hygiene (urls + composed cleaner)
+    "url_canonical_dedup": _url_canonical_dedup_q,
+    "robots_filter": _robots_filter_q,
+    "corpus_clean_accounting": _corpus_clean_accounting_q,
+    # -- sampling / mixing
+    "sample_mixture": _sample_mixture_q,
+    # -- scheme conversions
     "tags_bilou": _tags_bilou_q,
     "iob1_roundtrip": _iob1_roundtrip_q,
+    # -- relational / streaming-twin baseline queries
     "events_hourly": _events_hourly_q,
     "q14_promo_revenue": _q14_q,
     "user_sessions": _user_sessions_q,
@@ -841,10 +938,4 @@ QUERIES = {
     "q3_shipping_priority": _q3_q,
     "q10_returned_items": _q10_q,
 }
-# Registry size is capped at 50 ON PURPOSE: the driver's correctness
-# gate checks the first 50 entries, and round 3 proved entries past
-# that fall silently outside the check window.  Fold a new query into
-# an existing family (the way brute-force ann_topk folded into the
-# LSH/IVF trio, and TPC-H q5/q6 were retired for the richer q3/q10
-# shapes) before appending a 51st.
 assert len(QUERIES) <= 50, f"driver checks 50 queries, registry has {len(QUERIES)}"

@@ -73,6 +73,48 @@ def write_warc(records, path: str) -> None:
         fh.write(bytes(out))
 
 
+def synth_warc_fixture(spark: SparkSession, sf_dir: str,
+                       out_dir: Optional[str] = None, shards: int = 8) -> str:
+    """Deterministic WARC fixture derived from the documents table: one
+    HTML response record per doc whose visible text is exactly
+    ``doc {id} {text}`` (title + body; script/comment distractors are
+    stripped), sharded into ``shards`` segment files by doc_id %
+    shards, plus a 404 and a text/plain record every 50th doc (both
+    filtered by ``warc_pages``).  Driver-side python by design — this
+    WRITES the fixture the distributed reader is checked on; the
+    oracle recomputes the expected pages straight from ``documents``.
+    Returns the glob for ``read_warc``/``warc_pages``."""
+    import os
+
+    base = out_dir or os.path.join(
+        "/tmp", "kgkit_warc_fixture", os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(base, exist_ok=True)
+    docs = sorted(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    segs: dict = {i: [] for i in range(shards)}
+    for r in docs:
+        i, t = r["doc_id"], r["text"]
+        html = (
+            f"<html><head><title>doc {i}</title><script>var a=1;</script>"
+            f"</head><body><p>{t}</p><!-- nav --></body></html>"
+        )
+        recs = segs[i % shards]
+        recs.append({"url": f"https://w{i % shards}.example.org/d/{i}",
+                     "body": html})
+        if i % 50 == 0:
+            recs.append({"url": f"https://w{i % shards}.example.org/d/{i}",
+                         "body": "gone", "status": 404})
+            recs.append({"url": f"https://w{i % shards}.example.org/raw/{i}",
+                         "body": f"plain {i}", "mime": "text/plain"})
+    for s, recs in segs.items():
+        write_warc(recs, os.path.join(base, f"seg{s}.warc"))
+    return os.path.join(base, "*.warc")
+
+
 # ---------------------------------------------------------------------------
 # parser (bytes of one file -> records)
 # ---------------------------------------------------------------------------

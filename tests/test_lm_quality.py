@@ -68,6 +68,80 @@ class TestRelationalScorer:
         assert s[1] < s[2] < s[3]
 
 
+class TestRelationalLM:
+    """relational_bigram_lm + lm_score_exact — the cross-engine-exact
+    path must agree with the python-dict path to grid tolerance."""
+
+    def _seed_and_docs(self, spark):
+        seed_texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the brown dog sleeps under the old tree",
+            "a quick fox runs over a brown dog",
+        ]
+        doc_texts = seed_texts + [
+            "the quick brown dog",
+            "completely unseen gibberish tokens here",
+            "one",
+            "",
+        ]
+        seed = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(seed_texts)],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(doc_texts)],
+            "doc_id long, text string",
+        )
+        return seed, seed_texts, docs, doc_texts
+
+    def test_matches_python_lm_to_grid_tolerance(self, spark):
+        from kgkit.operators.lm_quality import (
+            lm_score_exact,
+            relational_bigram_lm,
+            score_text_py,
+            train_bigram_lm,
+        )
+
+        seed, seed_texts, docs, doc_texts = self._seed_and_docs(spark)
+        uni, bi = relational_bigram_lm(seed)
+        got = {
+            r["doc_id"]: r["lm_log2ppl"]
+            for r in lm_score_exact(docs, uni, bi).collect()
+        }
+        lm = train_bigram_lm(seed_texts)  # k=0.5 == the add-1/2 ratios
+        for i, t in enumerate(doc_texts):
+            # quantization error <= 5e-7 per pair, and the mean is over
+            # >= 1 pairs, so 1e-5 absolute covers the grid roundoff
+            assert got[i] == pytest.approx(score_text_py(t, lm), abs=1e-5), (
+                i, t,
+            )
+
+    def test_short_docs_hit_the_floor(self, spark):
+        from kgkit.operators.lm_quality import (
+            lm_score_exact,
+            relational_bigram_lm,
+        )
+
+        seed, _, docs, _ = self._seed_and_docs(spark)
+        uni, bi = relational_bigram_lm(seed)
+        got = {
+            r["doc_id"]: r["lm_log2ppl"]
+            for r in lm_score_exact(docs, uni, bi).collect()
+        }
+        assert got[5] == 20.0 and got[6] == 20.0  # "one" and ""
+
+    def test_tertiles_are_exact_and_ordered(self, spark):
+        from kgkit.operators.lm_quality import ppl_tertiles
+
+        scores = spark.createDataFrame(
+            [(i, float(i)) for i in range(9)], "doc_id long, lm_log2ppl double"
+        )
+        by = {r["doc_id"]: r["ppl_bucket"] for r in ppl_tertiles(scores).collect()}
+        assert [by[i] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+
+
 class TestBuckets:
     def test_head_middle_tail_split(self, spark, lm):
         from kgkit.operators.lm_quality import lm_score, perplexity_buckets

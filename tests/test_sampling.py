@@ -90,3 +90,67 @@ class TestSplitWeighted:
                split_weighted(df.repartition(17), [0.8, 0.1, 0.1], seed=3)[0]
                .collect()}
         assert tr2 == s[0]                  # partitioning-independent
+
+
+class TestMd5HashMode:
+    """hash_fn='md5': the cross-engine-auditable draw (DuckDB has no
+    xxhash64) — same API contract, still a pushed-down predicate."""
+
+    def test_reproducible_and_rate_accurate(self, spark):
+        from kgkit.operators.sampling import hash_sample
+
+        df = _docs(spark)
+        a = {r["doc_id"] for r in hash_sample(df, 0.3, seed=7,
+                                              hash_fn="md5").collect()}
+        b = {r["doc_id"] for r in
+             hash_sample(df.repartition(13), 0.3, seed=7,
+                         hash_fn="md5").collect()}
+        assert a == b
+        assert 0.25 < len(a) / 4000 < 0.35
+
+    def test_md5_draw_matches_python_twin(self, spark):
+        """The exact arithmetic the DuckDB oracle replays: 28-bit
+        md5-prefix of 'doc_id:seed' mod 1e6 under the rate threshold."""
+        import hashlib
+
+        from kgkit.operators.sampling import hash_sample
+
+        df = _docs(spark, n=500)
+        got = {r["doc_id"] for r in hash_sample(df, 0.3, seed=7,
+                                                hash_fn="md5").collect()}
+        want = {
+            i for i in range(500)
+            if int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:7], 16)
+            % 1_000_000 < 300_000
+        }
+        assert got == want
+
+    def test_mixture_md5_mode(self, spark):
+        from kgkit.operators.sampling import mixture_sample
+
+        df = _docs(spark)
+        out = mixture_sample(df, {"A": 2.0, "B": 0.5}, "tier",
+                             seed=1, hash_fn="md5")
+        rows = out.groupBy("tier").count().collect()
+        by = {r["tier"]: r["count"] for r in rows}
+        assert set(by) == {"A", "B"}  # C absent (whitelist)
+        n_a = len(range(0, 4000, 3))
+        assert by["A"] == 2 * n_a  # whole rate, no bernoulli
+        assert 0.4 < by["B"] / (4000 // 3) < 0.6
+
+    def test_unknown_hash_fn_rejected(self, spark):
+        from kgkit.operators.sampling import hash_sample
+
+        with pytest.raises(ValueError):
+            hash_sample(_docs(spark), 0.5, hash_fn="sha9000")
+
+    def test_still_a_pushed_down_filter(self, spark):
+        """No Exchange in the md5 plan either — sampling stays a scan
+        predicate in both hash modes."""
+        from kgkit.operators.sampling import hash_sample
+
+        plan = (
+            hash_sample(_docs(spark), 0.3, hash_fn="md5")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan

@@ -7,6 +7,7 @@ gate caps at 50 queries, so parity lives here)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 CASES = [
     ("HTTP://Example.COM:80/a/b?z=1&a=2#frag", "http://example.com/a/b?a=2&z=1"),
@@ -111,6 +112,91 @@ class TestRobots:
         from kgkit.operators.urls import robots_allowed
 
         assert robots_allowed("User-agent: *\nDisallow:\n", "/anything")
+
+
+class TestRobotsDistributed:
+    """robots_apply: broadcast rule table + longest-match window — must
+    agree row-for-row with the pure-python RobotsRules spec."""
+
+    def test_matches_python_spec_per_row(self, spark):
+        from urllib.parse import urlsplit
+
+        from kgkit.operators.urls import (
+            SYNTH_ROBOTS,
+            RobotsRules,
+            robots_apply,
+            robots_rules_df,
+            with_crawl_urls,
+        )
+
+        docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+        urls = with_crawl_urls(docs)
+        got = {
+            r["doc_id"]: (r["url"], r["allowed"])
+            for r in robots_apply(urls, robots_rules_df(spark, SYNTH_ROBOTS))
+            .collect()
+        }
+        assert len(got) == 300
+        parsed = {h: RobotsRules(b) for h, b in SYNTH_ROBOTS.items()}
+        n_denied = 0
+        for doc_id, (url, allowed) in got.items():
+            parts = urlsplit(url)
+            rules = parsed.get(parts.hostname)
+            want = rules.allowed(parts.path or "/") if rules else True
+            assert allowed == want, (doc_id, url)
+            n_denied += not allowed
+        # the fixture genuinely exercises denial, not a vacuous pass
+        assert 0 < n_denied < 300
+
+    def test_no_rules_host_defaults_allowed(self, spark):
+        from kgkit.operators.urls import robots_apply, robots_rules_df
+
+        urls = spark.createDataFrame(
+            [(1, "https://unknown.example.io/private/x")],
+            "doc_id long, url string",
+        )
+        rules = robots_rules_df(
+            spark, {"other.example.io": "User-agent: *\nDisallow: /\n"}
+        )
+        [row] = robots_apply(urls, rules).collect()
+        assert row["allowed"] is True
+
+    def test_broadcast_only_plan(self, spark):
+        """The rule join must be a BroadcastHashJoin — no shuffle of the
+        url stream before the single id-window."""
+        from kgkit.operators.urls import (
+            SYNTH_ROBOTS,
+            robots_apply,
+            robots_rules_df,
+            with_crawl_urls,
+        )
+
+        docs = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+        out = robots_apply(
+            with_crawl_urls(docs), robots_rules_df(spark, SYNTH_ROBOTS)
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+class TestMessyUrlFixture:
+    def test_variant_pairs_share_canonical(self, spark):
+        from kgkit.operators.urls import (
+            canonicalize_url,
+            url_dedup_keys,
+            with_messy_urls,
+        )
+
+        docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+        rows = url_dedup_keys(with_messy_urls(docs)).collect()
+        # every canonical group that survived has its variants agree
+        # with the python spec, and pair-ids share a resource
+        for r in rows:
+            for v in r["variants"]:
+                assert canonicalize_url(v) == r["canonical_url"]
+        sizes = sorted({r["n_variants"] for r in rows})
+        assert sizes == [1, 2]  # junk-url rows orphan some resources
 
 
 class TestSitemap:

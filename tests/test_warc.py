@@ -91,6 +91,51 @@ class TestSparkReader:
         (row,) = warc_pages(spark, p).collect()
         assert row["text"] == "a &lt; b &amp; c < d"
 
+    def test_crawl_hygiene_end_to_end(self, spark, tmp_path):
+        """The full crawl-hygiene composition: WARC segments ->
+        warc_pages -> robots filter (distributed longest-match) ->
+        clean_corpus.  Robots-denied pages and duplicate pages must
+        both be gone from the cleaned output, with the drops
+        accounted."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from kgkit.operators.corpus_clean import clean_corpus
+        from kgkit.operators.urls import robots_apply, robots_rules_df
+        from kgkit.sources.warc import warc_pages, write_warc
+
+        body = ("<html><body>" + "the crawl corpus keeps many plain "
+                "words about engines and joins across pages " * 3
+                + "</body></html>")
+        recs = [
+            {"url": "http://ok.site.net/a", "body": body},
+            {"url": "http://ok.site.net/private/b", "body": body},   # robots
+            {"url": "http://ok.site.net/c", "body": body},           # dup of a
+            {"url": "http://blocked.net/x", "body": body},           # deny-all
+        ]
+        write_warc(recs, str(tmp_path / "seg.warc"))
+        pages = warc_pages(spark, str(tmp_path / "seg.warc"))
+        rules = robots_rules_df(spark, {
+            "ok.site.net": "User-agent: *\nDisallow: /private/\n",
+            "blocked.net": "User-agent: *\nDisallow: /\n",
+        })
+        fetched = (
+            robots_apply(
+                pages.withColumn(
+                    "doc_id",
+                    F.row_number().over(Window.orderBy("url")).cast("long"),
+                ),
+                rules,
+            )
+            .filter(F.col("allowed"))
+            .drop("allowed")
+        )
+        cleaned, stats = clean_corpus(fetched, quality_kwargs={"min_words": 5})
+        urls = sorted(r["url"] for r in cleaned.collect())
+        assert urls == ["http://ok.site.net/a"]
+        assert stats["input"] == 2  # robots already removed 2 of 4
+        assert stats["dropped_exact"] == 1  # the duplicate page
+
     def test_pages_feed_the_ner_pipeline(self, spark, tmp_path):
         """WARC -> pages -> mentions: the ingestion path composes with
         stage 1 end to end."""
