@@ -114,6 +114,105 @@ class TestIndexMaintenance:
         }
         assert p3 == {(101, 301, 1.0), (201, 302, 1.0), (1, 303, 1.0)}
 
+    def test_kill_and_resume_keeps_grown_index(self, spark, tmp_path):
+        """A new session resumed from index_dir sees everything the dead
+        session indexed — no source replay needed — and matches a
+        never-killed stream on the same batches."""
+        from kgkit.streaming.dedup_stream import IncrementalDedupStream
+
+        idx = str(tmp_path / "idx")
+        stm = IncrementalDedupStream(
+            _df(spark, [(1, BASE)]), grow_index=True, index_dir=idx
+        )
+        assert stm.process_batch(_df(spark, [(101, THIRD)]), batch_id=0).collect() == []
+        del stm  # "kill" the session; only idx + source checkpoint survive
+
+        resumed = IncrementalDedupStream.resume(spark, idx, grow_index=True)
+        b2 = _df(spark, [(201, THIRD), (202, BASE)])
+        p2 = {tuple(r) for r in resumed.process_batch(b2, batch_id=1).collect()}
+        # 201 dups the DEAD session's batch doc, 202 the corpus doc
+        assert p2 == {(101, 201, 1.0), (1, 202, 1.0)}
+
+        control = IncrementalDedupStream(_df(spark, [(1, BASE)]), grow_index=True)
+        control.process_batch(_df(spark, [(101, THIRD)])).collect()
+        pc = {tuple(r) for r in control.process_batch(b2).collect()}
+        assert p2 == pc
+
+    def test_resume_after_compaction_and_cleanup(self, spark, tmp_path):
+        """Compaction writes a gen + manifest and removes folded batch
+        dirs; resume loads the gen (once — no pair duplication) and
+        continues growing."""
+        import os
+
+        from kgkit.streaming.dedup_stream import IncrementalDedupStream
+
+        idx = str(tmp_path / "idx")
+        stm = IncrementalDedupStream(
+            _df(spark, [(1, BASE)]),
+            grow_index=True, compact_every=2, index_dir=idx,
+        )
+        stm.process_batch(_df(spark, [(101, THIRD)]), batch_id=0).collect()
+        stm.process_batch(_df(spark, [(201, OTHER)]), batch_id=1).collect()
+        # compact_every=2 reached -> gen=0 written, batch parts folded away
+        names = sorted(os.listdir(os.path.join(idx, "shingles")))
+        assert names == ["gen=0"]
+        assert os.path.exists(os.path.join(idx, "manifest-0.json"))
+
+        resumed = IncrementalDedupStream.resume(
+            spark, idx, grow_index=True, compact_every=2
+        )
+        p3 = {
+            tuple(r)
+            for r in resumed.process_batch(
+                _df(spark, [(301, THIRD), (302, OTHER), (303, BASE)]),
+                batch_id=2,
+            ).collect()
+        }
+        assert p3 == {(101, 301, 1.0), (201, 302, 1.0), (1, 303, 1.0)}
+
+    def test_resume_skips_torn_write_and_folded_leftovers(self, spark, tmp_path):
+        """The _SUCCESS/manifest discipline: a part dir without _SUCCESS
+        (torn write) is ignored, and a folded dir that survived a crash
+        before deletion is excluded by the manifest — no double-load,
+        hence no duplicated verify pairs."""
+        import json
+        import os
+        import shutil
+
+        from kgkit.streaming.dedup_stream import (
+            IncrementalDedupStream,
+            _scan_index_dir,
+        )
+
+        idx = str(tmp_path / "idx")
+        stm = IncrementalDedupStream(
+            _df(spark, [(1, BASE)]),
+            grow_index=True, compact_every=2, index_dir=idx,
+        )
+        stm.process_batch(_df(spark, [(101, THIRD)]), batch_id=0).collect()
+        stm.process_batch(_df(spark, [(201, OTHER)]), batch_id=1).collect()
+
+        # simulate a crash BETWEEN manifest rename and cleanup: restore a
+        # folded batch dir by copying gen=0 under the old name, and plant
+        # a torn write (no _SUCCESS)
+        for sub in ("shingles", "bands"):
+            shutil.copytree(
+                os.path.join(idx, sub, "gen=0"),
+                os.path.join(idx, sub, "batch=0"),
+            )
+            os.makedirs(os.path.join(idx, sub, "batch=9"))  # torn: no _SUCCESS
+        folded = json.load(open(os.path.join(idx, "manifest-0.json")))["folded"]
+        assert "batch=0" in folded
+
+        gen, parts = _scan_index_dir(idx)
+        assert gen == "gen=0" and parts == []
+
+        resumed = IncrementalDedupStream.resume(spark, idx, grow_index=True)
+        pairs = resumed.process_batch(
+            _df(spark, [(301, BASE)]), batch_id=3
+        ).collect()
+        assert [tuple(r) for r in pairs] == [(1, 301, 1.0)]  # exactly once
+
     def test_probe_time_cap_counts_whole_grown_buckets(self, spark):
         """max_bucket is enforced over the GROWN index at probe time:
         a bucket that only exceeds the cap after stream appends stops
