@@ -32,6 +32,7 @@ from kgkit.ner_core.trained import (
     N_HIDDEN,
     Q,
     TrainedTagger,
+    attention_mix,
     embed_key,
 )
 
@@ -109,12 +110,17 @@ def normalize_words(words: Sequence[str]) -> List[str]:
 
 def featurize_page(words: Sequence[str],
                    cache: Dict[str, np.ndarray]) -> np.ndarray:
-    """[len(words), N_CH*EMB_DIM] context features, '' at boundaries —
-    the same keys TrainedTagger.forward builds per subtoken (bigram
-    channels, the unigram, and the trigram conjunction)."""
+    """[len(words), N_CH*EMB_DIM] features, '' at boundaries — the same
+    keys TrainedTagger.forward_scaled builds per subtoken (bigram
+    channels, the unigram, the trigram conjunction, and the attention
+    mix as its TRUE rational value num/den: training in floats, then
+    quantized weights transfer to the multiplied-through int forward
+    because the logits differ only by the positive per-position
+    scale)."""
     lowered = normalize_words(words)
     n = len(lowered)
     X = np.zeros((n, N_CH * EMB_DIM), dtype=np.float64)
+    anum, aden = attention_mix(lowered)
     for i, w in enumerate(lowered):
         nxt = lowered[i + 1] if i + 1 < n else ""
         prv = lowered[i - 1] if i > 0 else ""
@@ -124,6 +130,7 @@ def featurize_page(words: Sequence[str],
             if vec is None:
                 vec = cache[key] = embed_key(key).astype(np.float64)
             X[i, ch * EMB_DIM:(ch + 1) * EMB_DIM] = vec
+        X[i, 4 * EMB_DIM:] = anum[i] / float(aden[i])
     return X
 
 
@@ -203,8 +210,8 @@ def fit_mlp_head(
     y: np.ndarray,
     n_classes: int,
     hidden: int = N_HIDDEN,
-    iters: int = 600,
-    lr: float = 0.5,
+    iters: int = 800,
+    lr: float = 0.7,
     l2: float = 1e-4,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Full-batch two-layer (relu) softmax classifier, deterministic:
@@ -236,8 +243,9 @@ def fit_mlp_head(
 
 def train_default_head(n_pages: int = 4000) -> TrainedTagger:
     """The packaged-checkpoint recipe: synthetic corpus + 30 copies of
-    the planted OOV pages, 600 full-batch GD steps on the two-layer
-    head, all four weight arrays quantized to the 1/Q grid."""
+    the planted OOV pages, 800 full-batch GD steps (lr 0.7) on the
+    attention-channel two-layer head, all four weight arrays quantized
+    to the 1/Q grid."""
     from kgkit.sources.planted import PLANTED_NER_TEXTS
 
     extra = [t.split(" ") for t in PLANTED_NER_TEXTS] * 30

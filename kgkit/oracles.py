@@ -175,14 +175,19 @@ def _trained_tags_cte() -> str:
     are generated from the SAME packaged checkpoint the Spark workers
     load, and the md5 byte-slicing mirrors trained.feature_dims.
 
-    Two-layer arithmetic in BIGINT: layer-1 pre-activations in units of
-    1/Q (``b1q + sum(sgn*w1q)``), relu as GREATEST(·,0), logits in
-    units of 1/Q^2 (``b2q*Q + sum(relu*w2q)``) — bit-equal to the
-    float64 forward pass (trained.py module docstring)."""
+    Attention + two-layer arithmetic in BIGINT (trained.py module
+    docstring): salt-hashed q/k/v vectors per word, pair scores over
+    the DOCUMENT grid, base-2 softmax weights ``1 << clip(s, 0, SMAX)``,
+    per-position denominator ``den``; the forward runs multiplied
+    through by ``den`` — context contributions ``sgn·den``, the
+    attention channel as its integer numerator, biases ``b·den`` — so
+    layer-1 pre-activations (units 1/Q), GREATEST relu, and logits
+    (units 1/Q^2) stay integers and the argmax is unchanged (positive
+    per-position scale).  Bit-equal to the int64 numpy forward."""
     import numpy as np
 
     from kgkit.ner_core.trained import (
-        EMB_DIM, N_HASH, N_HIDDEN, Q, default_trained_tagger,
+        EMB_DIM, N_HASH, N_HIDDEN, Q, SMAX, default_trained_tagger,
     )
 
     m = default_trained_tagger()
@@ -245,17 +250,69 @@ tcontrib AS (
                 THEN 1 ELSE -1 END AS sgn
     FROM tfeats CROSS JOIN (VALUES {hrows}) hh(i)
 ),
+tqvs AS (
+    -- salt-hashed q/k/v embeddings per word (trained._qkv twin):
+    -- summed signs per dim so duplicate hash dims accumulate
+    SELECT doc_id, pos, role, dim, SUM(sgn) AS val
+    FROM (
+        SELECT doc_id, pos, rr.role,
+               CAST(('0x' || substr(md5(rr.role || '|' || wk),
+                                    2 * hh.i + 1, 2))::BIGINT
+                    % {EMB_DIM} AS INT) AS dim,
+               CASE WHEN substr(md5(rr.role || '|' || wk), 9 + hh.i, 1)
+                    IN {_ODD} THEN 1 ELSE -1 END AS sgn
+        FROM tkeys
+        CROSS JOIN (VALUES ('q'), ('k'), ('v')) rr(role)
+        CROSS JOIN (VALUES {hrows}) hh(i)
+    ) GROUP BY doc_id, pos, role, dim
+),
+tsc AS (
+    -- hashed query·key dots over the document pair grid
+    SELECT q.doc_id, q.pos AS pi, k.pos AS pj, SUM(q.val * k.val) AS s
+    FROM tqvs q
+    JOIN tqvs k ON k.doc_id = q.doc_id AND k.dim = q.dim
+    WHERE q.role = 'q' AND k.role = 'k'
+    GROUP BY q.doc_id, q.pos, k.pos
+),
+tw AS (
+    -- base-2 softmax weights 2^clip(s, 0, SMAX) over ALL word pairs
+    -- (pairs with no shared hash dim score 0 -> weight 1)
+    SELECT a.doc_id, a.pos AS pi, b.pos AS pj,
+           (CAST(1 AS BIGINT)
+            << CAST(LEAST(GREATEST(COALESCE(s.s, 0), 0), {SMAX}) AS INT))
+           AS nw
+    FROM pw a
+    JOIN pw b ON b.doc_id = a.doc_id
+    LEFT JOIN tsc s
+      ON s.doc_id = a.doc_id AND s.pi = a.pos AND s.pj = b.pos
+),
+tden AS (SELECT doc_id, pi AS pos, SUM(nw) AS den FROM tw GROUP BY doc_id, pi),
+tanum AS (
+    -- attention-mixed value-channel numerator per (position, dim)
+    SELECT w.doc_id, w.pi AS pos, v.dim, SUM(w.nw * v.val) AS num
+    FROM tw w
+    JOIN tqvs v ON v.doc_id = w.doc_id AND v.pos = w.pj AND v.role = 'v'
+    GROUP BY w.doc_id, w.pi, v.dim
+),
+tallc AS (
+    -- multiplied-through features: context channels scaled by den,
+    -- the attention channel as its integer numerator
+    SELECT c.doc_id, c.pos, c.idx, CAST(c.sgn AS BIGINT) * d.den AS val
+    FROM tcontrib c JOIN tden d ON d.doc_id = c.doc_id AND d.pos = c.pos
+    UNION ALL
+    SELECT doc_id, pos, {4 * EMB_DIM} + dim AS idx, num AS val FROM tanum
+),
 th1 AS (
-    SELECT c.doc_id, c.pos, w.hdim, SUM(c.sgn * w.wq) AS s
-    FROM tcontrib c
+    SELECT c.doc_id, c.pos, w.hdim, SUM(c.val * w.wq) AS s
+    FROM tallc c
     JOIN (SELECT * FROM (VALUES {w1rows}) t(idx, hdim, wq)) w
       ON w.idx = c.idx
     GROUP BY c.doc_id, c.pos, w.hdim
 ),
 trelu AS (
-    SELECT p.doc_id, p.pos, b.hdim,
-           GREATEST(b.b1q + COALESCE(h.s, 0), 0) AS r
-    FROM (SELECT doc_id, pos FROM pw) p
+    SELECT p.doc_id, p.pos, p.den, b.hdim,
+           GREATEST(b.b1q * p.den + COALESCE(h.s, 0), 0) AS r
+    FROM tden p
     CROSS JOIN (SELECT * FROM (VALUES {b1rows}) t(hdim, b1q)) b
     LEFT JOIN th1 h
       ON h.doc_id = p.doc_id AND h.pos = p.pos AND h.hdim = b.hdim
@@ -268,9 +325,9 @@ tz2 AS (
     GROUP BY r.doc_id, r.pos, w.cls_id
 ),
 tz AS (
-    SELECT p.doc_id, p.pos, b.cls_id, b.cls,
-           b.bias_q * {Q} + COALESCE(s.s2, 0) AS z_num
-    FROM (SELECT doc_id, pos FROM pw) p
+    SELECT p.doc_id, p.pos, p.den, b.cls_id, b.cls,
+           b.bias_q * {Q} * p.den + COALESCE(s.s2, 0) AS z_num
+    FROM tden p
     CROSS JOIN (SELECT * FROM (VALUES {brows}) t(cls_id, cls, bias_q)) b
     LEFT JOIN tz2 s
       ON s.doc_id = p.doc_id AND s.pos = p.pos AND s.cls_id = b.cls_id
@@ -336,15 +393,15 @@ def _trained_mentions_sql() -> str:
 
 def _trained_proba_sql() -> str:
     """predict_proba_nn oracle: softmax over the trained logits
-    (z = z_num / 1048576 exactly — the 1/Q^2 two-layer grid;
-    numerically-stable exp like
+    (z = z_num / (den·1048576) exactly — one IEEE division of exact
+    integers, identical to the numpy side; numerically-stable exp like
     NumpyTagger.decode_proba), rounded to 6 on both engines."""
     return f"""
         WITH {WORDS_CTE}, {_trained_tags_cte()},
         zz AS (
             SELECT 'doc://' || doc_id AS url,
                    CAST(pos - 1 AS BIGINT) AS pos, cls,
-                   z_num / 1048576.0 AS z
+                   z_num / (den * 1048576.0) AS z
             FROM tz
         ),
         mm AS (SELECT *, max(z) OVER (PARTITION BY url, pos) AS zmax FROM zz),

@@ -67,11 +67,10 @@ class TestCliLifecycle:
 
         # -- 3/5. checkpoint into the store + load via the S7 source
         #    (reference: Model.from_training reads the run's checkpoint)
+        from kgkit.ner_core.trained import DEFAULT_CKPT
+
         ckpt = store / "pretrained_models" / "model.npz"
-        shutil.copyfile(
-            os.path.join(REPO, "kgkit/ner_core/checkpoints/trained_v3.npz"),
-            ckpt,
-        )
+        shutil.copyfile(DEFAULT_CKPT, ckpt)
 
         # -- 6a. model.predict on a single text (argv surface, no Spark)
         probe = "the spark hash join beats a sort merge join"

@@ -96,10 +96,33 @@ class TestCheckpoint:
 class TestForwardContract:
     def test_logits_shape_and_exact_grid(self):
         m = default_trained_tagger()
-        logits = m.forward([["[CLS]", "spark", "hash", "join", "[SEP]"]])
+        toks = ["[CLS]", "spark", "hash", "join", "[SEP]"]
+        logits = m.forward([toks])
         assert logits.shape == (1, 5, len(m.annotation_classes))
-        z = logits * (1024 * 1024)
-        assert np.array_equal(z, np.rint(z))  # logits on the 1/Q^2 grid
+        # scaled logits are exact int64; true logits are exactly
+        # z_scaled / (den * Q^2) — one IEEE division (r5 attention
+        # contract: per-position rational grid, not a fixed 1/Q^2 grid)
+        zs, den = m.forward_scaled([toks])
+        assert zs.dtype == np.int64 and den.dtype == np.int64
+        assert (den >= 1).all()
+        assert np.array_equal(
+            logits, zs / (den[:, :, None].astype(np.float64) * 1024 * 1024)
+        )
+        # special tokens carry no attention scale
+        assert den[0, 0] == 1 and den[0, -1] == 1
+
+    def test_attention_widens_receptive_field(self):
+        """A word far outside the ±1+trigram window changes a position's
+        logits — the r5 attention channel is live (the r4 head was
+        structurally incapable of this)."""
+        m = default_trained_tagger()
+        a = ["[CLS]", "spark", "hash", "join", "the", "big", "w000", "[SEP]"]
+        b = ["[CLS]", "spark", "hash", "join", "the", "big", "w001", "[SEP]"]
+        za = m.forward([a])[0]
+        zb = m.forward([b])[0]
+        # position 1 ('spark') is 5 words away from the changed word:
+        # every r4 channel (prev/word/next/trigram) is identical
+        assert not np.array_equal(za[1], zb[1])
 
     def test_pad_tail_fast_path(self):
         m = default_trained_tagger()

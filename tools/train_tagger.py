@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Train + quantize the TrainedTagger head and write the packaged
-checkpoint (kgkit/ner_core/checkpoints/trained_v1.npz).
+checkpoint (kgkit/ner_core/checkpoints/trained_v4.npz).
 
 Deterministic end to end (kgkit.ner_core.train): re-running this script
 on the same machine reproduces the committed checkpoint bit-for-bit —
