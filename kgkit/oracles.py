@@ -1003,6 +1003,75 @@ def _ivf_kmeans_sql(n_cells: int = 8, n_probe: int = 2, iters: int = 2,
     return "WITH " + "".join(parts)
 
 
+def _host_authority_sql(iters: int = 5, q_grid: int = 1 << 40,
+                        num: int = 85, den: int = 100) -> str:
+    """Integer-exact PageRank over the WARC fixture's planted host
+    graph (warc.fixture_anchors): per doc i of n, absolute links to
+    docs (7i+1)%n and (13i+5)%n (host = w{j%8}) plus a root-relative
+    link that resolves to the SOURCE host and is therefore dropped as a
+    self-edge — so the oracle's edge list is the two cross-host
+    formulas with src<>dst.  The recurrence is the verbatim twin of
+    operators.linkgraph.pagerank: all BIGINT on the 1/2^40 grid
+    (DuckDB's SUM widens to HUGEINT; values stay far inside int64 and
+    the final projection casts back), ``//`` here == ``div`` there
+    (all quantities non-negative)."""
+    its = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        its.append(f"""
+        r{t} AS (
+            SELECT nd.node,
+                   par.base + ({num} * COALESCE(c.c, 0)) // {den} AS rank_q
+            FROM nodes nd CROSS JOIN par
+            LEFT JOIN (
+                SELECT e.dst AS dn, SUM((r.rank_q * e.w) // e.out_w) AS c
+                FROM ew e JOIN {prev} r ON r.node = e.src
+                GROUP BY e.dst
+            ) c ON c.dn = nd.node
+        )""")
+        prev = f"r{t}"
+    return f"""
+        WITH nd_n AS (SELECT COUNT(*) AS cnt FROM documents),
+        lk AS (
+            SELECT 'w' || CAST(doc_id % 8 AS VARCHAR) || '.example.org' AS src,
+                   'w' || CAST(((7 * doc_id + 1) % cnt) % 8 AS VARCHAR)
+                       || '.example.org' AS dst
+            FROM documents CROSS JOIN nd_n
+            UNION ALL
+            SELECT 'w' || CAST(doc_id % 8 AS VARCHAR) || '.example.org',
+                   'w' || CAST(((13 * doc_id + 5) % cnt) % 8 AS VARCHAR)
+                       || '.example.org'
+            FROM documents CROSS JOIN nd_n
+        ),
+        edges AS (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM lk WHERE src <> dst GROUP BY src, dst
+        ),
+        outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+        inw AS (SELECT dst, SUM(w) AS in_w FROM edges GROUP BY dst),
+        ew AS (
+            SELECT e.src, e.dst, e.w, o.out_w
+            FROM edges e JOIN outw o ON o.src = e.src
+        ),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        par AS (
+            SELECT ({q_grid} // COUNT(*)) AS r0v,
+                   (({den - num} * ({q_grid} // COUNT(*))) // {den}) AS base
+            FROM nodes
+        ),
+        r0 AS (SELECT node, r0v AS rank_q FROM nodes CROSS JOIN par),
+        {",".join(its)}
+        SELECT f.node AS host,
+               CAST(f.rank_q AS BIGINT) AS rank_q,
+               CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w,
+               CAST(COALESCE(i.in_w, 0) AS BIGINT) AS in_w
+        FROM {prev} f
+        LEFT JOIN outw o ON o.src = f.node
+        LEFT JOIN inw i ON i.dst = f.node
+    """
+
+
 ORACLES = {
     "kg_mentions": f"""
         WITH {MENTIONS_CTE}
@@ -1532,25 +1601,8 @@ ORACLES = {
                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
         FROM documents GROUP BY 1
     """,
-    # html == utf-8 bytes of text, and the corpus is ASCII-only
-    # ([a-z ] words): per-character codepoints == per-byte values, so
-    # the byte histogram is exactly expressible over text in SQL.
-    "media_byte_histogram": """
-        WITH ch AS (
-            SELECT 'doc://' || doc_id AS url, text,
-                   strlen(text) AS total,
-                   unnest(range(1, strlen(text) + 1)) AS i
-            FROM documents WHERE strlen(text) > 0
-        ),
-        b AS (
-            SELECT url, CAST(ord(substr(text, CAST(i AS INT), 1)) // 16 AS INT)
-                       AS bin,
-                   count(*) AS n, any_value(total) AS total
-            FROM ch GROUP BY url, bin
-        )
-        SELECT url, bin, round(n / CAST(total AS DOUBLE), 6) AS weight
-        FROM b
-    """,
+    # link graph: planted-anchor formula + unrolled BIGINT PageRank
+    "host_authority": _host_authority_sql(),
     # S4 layout A roundtrip: the ingest must reproduce the word/tag
     # stream the fixture was encoded from
     "hf_pretokenized_ingest": f"""

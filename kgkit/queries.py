@@ -482,15 +482,30 @@ def _media_stats_q(spark, sf_dir):
     )
 
 
-def _media_byte_histogram_q(spark, sf_dir):
-    """Vectorized numpy feature extraction from binary media (Arrow
-    batches; stands where an image-embedding model would run) —
-    exploded to (url, bin, weight) rows so the result is flat/hashable
-    and carries a full DuckDB oracle."""
-    from kgkit.operators.multimodal import byte_histogram_features
+def _host_authority_q(spark, sf_dir):
+    """Web-graph authority end to end: the WARC fixture's planted
+    empty-anchor outlinks (warc.fixture_anchors — invisible to the
+    text extraction, so warc_pages stays byte-exact) through JVM href
+    extraction, relative-URL resolution, host-edge aggregation and
+    five rounds of integer-exact PageRank on the 1/2^40 grid.  The
+    oracle rebuilds the same graph from the anchor formula and unrolls
+    the identical BIGINT recurrence (oracles._host_authority_sql), so
+    the ranks are hash-checked bit-for-bit."""
+    from kgkit.operators.linkgraph import host_authority
+    from kgkit.sources.warc import read_warc, synth_warc_fixture
 
-    return byte_histogram_features(load_pages(spark, sf_dir)).select(
-        "url", F.col("bin").cast("int"), "weight"
+    glob = synth_warc_fixture(spark, sf_dir)
+    pages = (
+        read_warc(spark, glob)
+        .filter(
+            (F.col("warc_type") == "response")
+            & F.col("http_status").between(200, 299)
+            & (F.col("mime") == "text/html")
+        )
+        .select("url", F.col("payload").cast("string").alias("html"))
+    )
+    return host_authority(pages).select(
+        "host", "rank_q", "out_w", "in_w"
     )
 
 
@@ -868,6 +883,9 @@ def _q10_q(spark, sf_dir):
 #   dedup_simhash           -> MinHash/jaccard/winnow family (r5;
 #                              simhash op + tests remain in dedup.py)
 #   media_frame_sample      -> media_byte_histogram (r5)
+#   media_byte_histogram    -> media_stats (r5; histogram/frame-sample/
+#                              simhash ops keep pandas-twin coverage in
+#                              tests/test_multimodal.py)
 #   ann_topk_ivf            -> ann_topk_ivf_kmeans (r5, real quantizer)
 #   asr_abidance            -> asr_corrected_bio (r5; the aggregate is
 #                              a projection of the full stream)
@@ -916,7 +934,8 @@ QUERIES = {
     "ann_topk_ivf_kmeans": _ann_topk_ivf_kmeans_q,
     # -- multimodal binary columns
     "media_stats": _media_stats_q,
-    "media_byte_histogram": _media_byte_histogram_q,
+    # -- link graph / web authority
+    "host_authority": _host_authority_q,
     # -- sources / ingestion roundtrips
     "hf_pretokenized_ingest": _hf_pretokenized_ingest_q,
     "hf_charspan_ingest": _hf_charspan_ingest_q,

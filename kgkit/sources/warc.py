@@ -73,16 +73,35 @@ def write_warc(records, path: str) -> None:
         fh.write(bytes(out))
 
 
+def fixture_anchors(i: int, n: int, shards: int = 8) -> str:
+    """Deterministic outlinks for doc ``i`` of ``n``: two absolute
+    cross-host anchors and one root-relative (same-host) anchor.  The
+    formula is shared verbatim with the ``host_authority`` oracle
+    (oracles.py), which rebuilds the expected host graph straight from
+    ``documents``.  Anchors are EMPTY — they carry no visible text, so
+    ``html_text_col`` output (and the byte-exact ``warc_pages``
+    oracle) is unchanged."""
+    j1 = (7 * i + 1) % n
+    j2 = (13 * i + 5) % n
+    j3 = (3 * i + 2) % n
+    return (
+        f'<a href="https://w{j1 % shards}.example.org/d/{j1}"></a>'
+        f'<a href="https://w{j2 % shards}.example.org/d/{j2}"></a>'
+        f'<a href="/d/{j3}"></a>'
+    )
+
+
 def synth_warc_fixture(spark: SparkSession, sf_dir: str,
                        out_dir: Optional[str] = None, shards: int = 8) -> str:
     """Deterministic WARC fixture derived from the documents table: one
     HTML response record per doc whose visible text is exactly
     ``doc {id} {text}`` (title + body; script/comment distractors are
-    stripped), sharded into ``shards`` segment files by doc_id %
-    shards, plus a 404 and a text/plain record every 50th doc (both
-    filtered by ``warc_pages``).  Driver-side python by design — this
-    WRITES the fixture the distributed reader is checked on; the
-    oracle recomputes the expected pages straight from ``documents``.
+    stripped) and whose body carries the ``fixture_anchors`` outlinks,
+    sharded into ``shards`` segment files by doc_id % shards, plus a
+    404 and a text/plain record every 50th doc (both filtered by
+    ``warc_pages``).  Driver-side python by design — this WRITES the
+    fixture the distributed reader is checked on; the oracle recomputes
+    the expected pages straight from ``documents``.
     Returns the glob for ``read_warc``/``warc_pages``."""
     import os
 
@@ -100,7 +119,8 @@ def synth_warc_fixture(spark: SparkSession, sf_dir: str,
         i, t = r["doc_id"], r["text"]
         html = (
             f"<html><head><title>doc {i}</title><script>var a=1;</script>"
-            f"</head><body><p>{t}</p><!-- nav --></body></html>"
+            f"</head><body><p>{t}</p>{fixture_anchors(i, len(docs), shards)}"
+            f"<!-- nav --></body></html>"
         )
         recs = segs[i % shards]
         recs.append({"url": f"https://w{i % shards}.example.org/d/{i}",

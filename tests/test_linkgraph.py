@@ -1,0 +1,172 @@
+"""Link graph + host authority (kgkit/operators/linkgraph.py).
+
+Differential strategy, same as every exact-arithmetic operator here:
+a pure-python twin of the integer PageRank recurrence is compared
+bit-for-bit with the Spark result (the DuckDB oracle then re-proves the
+same recurrence end-to-end over the WARC fixture in check_oracles).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+Q = 1 << 40
+
+
+def _pagerank_twin(edges, iters=5, num=85, den=100, q_grid=Q):
+    """Pure-python twin of linkgraph.pagerank: edges = [(src, dst, w)]."""
+    out_w: dict = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    r0 = q_grid // n
+    base = ((den - num) * r0) // den
+    rank = {v: r0 for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += (rank[s] * w) // out_w[s]
+        rank = {v: base + (num * contrib[v]) // den for v in nodes}
+    return rank
+
+
+class TestHrefExtraction:
+    def test_absolute_relative_and_noise(self, spark):
+        from kgkit.operators.linkgraph import page_links
+
+        html = (
+            '<html><body>'
+            '<a href="https://other.org/x">t</a>'
+            '<a href="HTTP://CASED.ORG/Y">t</a>'
+            "<a href='/rel/path'>single quotes</a>"
+            '<a href="//proto.org/p">protocol-relative</a>'
+            '<a href="mailto:x@y.z">mail</a>'
+            '<a href="javascript:void(0)">js</a>'
+            '<a href="#frag">fragment</a>'
+            '<a href="dir/relative">dropped</a>'
+            '<a class="k" href="https://attr.org/a">attrs before href</a>'
+            "</body></html>"
+        )
+        df = spark.createDataFrame(
+            [("https://src.example.org/page/1", html)], "url string, html string"
+        )
+        got = sorted(r["dst_url"] for r in page_links(df).collect())
+        assert got == sorted([
+            "https://other.org/x",
+            "HTTP://CASED.ORG/Y",
+            "https://src.example.org/rel/path",
+            "https://proto.org/p",
+            "https://attr.org/a",
+        ])
+
+    def test_host_edges_drop_self_and_weight(self, spark):
+        from kgkit.operators.linkgraph import host_edges
+
+        links = spark.createDataFrame(
+            [
+                ("https://a.org/1", "https://b.org/x"),
+                ("https://a.org/2", "https://b.org/y"),
+                ("https://a.org/3", "https://A.ORG/self"),
+                ("https://b.org/1", "https://a.org/z"),
+            ],
+            "src_url string, dst_url string",
+        )
+        got = {(r["src"], r["dst"]): r["weight"]
+               for r in host_edges(links).collect()}
+        assert got == {("a.org", "b.org"): 2, ("b.org", "a.org"): 1}
+
+
+class TestPagerank:
+    def _run(self, spark, edges, **kw):
+        from kgkit.operators.linkgraph import pagerank
+
+        df = spark.createDataFrame(edges, "src string, dst string, weight long")
+        got = {r["node"]: r["rank_q"] for r in pagerank(df, **kw).collect()}
+        return got
+
+    def test_matches_python_twin_exactly(self, spark):
+        edges = [
+            ("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+            ("c", "a", 1), ("d", "a", 5), ("d", "c", 2),
+        ]
+        assert self._run(spark, edges) == _pagerank_twin(edges)
+
+    def test_dangling_and_weighted_skew(self, spark):
+        # z has no out-links (dangling: damped mass leaks, both sides
+        # agree); hub receives wildly skewed weights
+        edges = [
+            ("a", "hub", 100), ("b", "hub", 1), ("c", "hub", 7),
+            ("hub", "z", 1), ("a", "b", 1),
+        ]
+        got = self._run(spark, edges, iters=7)
+        twin = _pagerank_twin(edges, iters=7)
+        assert got == twin
+        # hub out-ranks its own sources; z (hub's sole target, fed the
+        # whole damped hub mass each round) tops even hub
+        assert got["hub"] > max(got["a"], got["b"], got["c"])
+        assert got["z"] > got["hub"]
+
+    def test_mass_bounded_by_grid(self, spark):
+        edges = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+        got = self._run(spark, edges)
+        # a cycle has no dangling leak: only floor losses, < 1 grid
+        # unit per integer division per node per round
+        assert Q - 3 * 3 * 6 <= sum(got.values()) <= Q
+
+    def test_fixture_formula_end_to_end(self, spark):
+        """host_authority over a mini WARC fixture == twin over the
+        planted anchor formula (the oracle's own reconstruction)."""
+        from kgkit.operators.linkgraph import host_authority
+        from kgkit.sources.warc import read_warc, synth_warc_fixture
+
+        glob = synth_warc_fixture(
+            spark, "/root/testdata/sf0.001", out_dir="/tmp/kgkit_lg_fix"
+        )
+        pages = (
+            read_warc(spark, glob)
+            .filter((F.col("warc_type") == "response")
+                    & (F.col("mime") == "text/html")
+                    & F.col("http_status").between(200, 299))
+            .select("url", F.col("payload").cast("string").alias("html"))
+        )
+        got = {r["host"]: (r["rank_q"], r["out_w"], r["in_w"])
+               for r in host_authority(pages).collect()}
+
+        docs = [r["doc_id"] for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").select("doc_id").collect()]
+        n = len(docs)
+        ew: dict = {}
+        for i in docs:
+            for j in ((7 * i + 1) % n, (13 * i + 5) % n):
+                s, d = f"w{i % 8}.example.org", f"w{j % 8}.example.org"
+                if s != d:
+                    ew[(s, d)] = ew.get((s, d), 0) + 1
+        edges = [(s, d, w) for (s, d), w in ew.items()]
+        twin = _pagerank_twin(edges)
+        out_w: dict = {}
+        in_w: dict = {}
+        for s, d, w in edges:
+            out_w[s] = out_w.get(s, 0) + w
+            in_w[d] = in_w.get(d, 0) + w
+        assert got == {
+            v: (twin[v], out_w.get(v, 0), in_w.get(v, 0)) for v in twin
+        }
+
+    def test_anchors_invisible_to_text_extraction(self, spark):
+        """The planted anchors must not perturb warc_pages' visible
+        text (the warc_pages oracle stays byte-exact)."""
+        from kgkit.sources.warc import html_text_col
+
+        df = spark.createDataFrame(
+            [(
+                '<html><body><p>hello world</p>'
+                '<a href="https://x.org/1"></a><a href="/d/2"></a>'
+                "<!-- nav --></body></html>",
+            )],
+            "html string",
+        )
+        assert df.select(
+            html_text_col(F.col("html")).alias("t")
+        ).first()["t"] == "hello world"
