@@ -51,11 +51,15 @@ def connected_components(
     variant: str = "adaptive",
     stats: dict = None,
     jump_after: int = 3,
+    key_fn=None,
 ) -> DataFrame:
     """edges(src, dst) undirected -> components(entity_id, canonical_id).
 
-    canonical_id = the member with the smallest numeric part.  See the
-    module docstring for the two variants; pass a dict as ``stats`` to
+    canonical_id = the member with the smallest ``key_fn`` value —
+    default ``_entity_key`` (the numeric part of 'Q<n>' entity ids);
+    pass ``key_fn=lambda c: c`` for naturally ordered ids (e.g. the
+    near-dup cluster graph over BIGINT doc_ids).  See the module
+    docstring for the two variants; pass a dict as ``stats`` to
     receive {'rounds': <iterations until fixpoint>} back (the
     long-chain test pins the doubling variant to O(log n) rounds).
 
@@ -68,6 +72,7 @@ def connected_components(
     """
     if variant not in ("doubling", "propagation", "adaptive"):
         raise ValueError(f"unknown CC variant {variant!r}")
+    key = key_fn if key_fn is not None else _entity_key
     spark = edges.sparkSession
     n_edges = edges.count()
     n_parts = max(1, min(64, n_edges // 100_000))
@@ -100,7 +105,7 @@ def connected_components(
             neighbour_min = (
                 sym.join(labels, sym.dst == labels.node, "inner")
                 .groupBy(sym.src.alias("node2"))
-                .agg(F.min_by("label", _entity_key(F.col("label"))).alias("nmin"))
+                .agg(F.min_by("label", key(F.col("label"))).alias("nmin"))
             )
             prop = (
                 labels.join(neighbour_min, labels.node == F.col("node2"), "left")
@@ -108,11 +113,11 @@ def connected_components(
                     "node",
                     F.when(
                         F.col("nmin").isNotNull()
-                        & (_entity_key(F.col("nmin")) < _entity_key(F.col("label"))),
+                        & (key(F.col("nmin")) < key(F.col("label"))),
                         F.col("nmin"),
                     ).otherwise(F.col("label")).alias("label"),
                     (F.col("nmin").isNotNull()
-                     & (_entity_key(F.col("nmin")) < _entity_key(F.col("label")))
+                     & (key(F.col("nmin")) < key(F.col("label")))
                      ).alias("changed"),
                 )
             )
@@ -140,8 +145,8 @@ def connected_components(
                         F.col("a.node").alias("node"),
                         F.col("jl").alias("label"),
                         (F.col("a.changed")
-                         | (_entity_key(F.col("jl"))
-                            < _entity_key(F.col("a.label")))).alias("changed"),
+                         | (key(F.col("jl"))
+                            < key(F.col("a.label")))).alias("changed"),
                     )
                 )
                 updated = jumped.localCheckpoint()

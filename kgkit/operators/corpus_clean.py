@@ -56,10 +56,17 @@ def clean_corpus(
     url_col: str = "url",
     near_dup_threshold: float = 0.5,
     quality_kwargs: dict = None,
+    near_dup_strategy: str = "greedy",
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """docs(doc_id, url?, text) -> (cleaned docs, per-stage stats).
 
-    ``url_col=None`` (or a missing column) skips stage 1."""
+    ``url_col=None`` (or a missing column) skips stage 1.
+
+    ``near_dup_strategy``: ``'greedy'`` (default, the oracled shape —
+    of each pair the larger id drops; cheap, but a chain A~B~C keeps
+    both ends) or ``'clusters'`` (dedup.dup_clusters: transitive
+    closure via connected components, keep exactly the min member per
+    duplicate cluster — the principled collapse, one CC loop extra)."""
     from kgkit.operators.dedup import minhash_near_dups
     from kgkit.operators.text_quality import gopher_quality
 
@@ -89,12 +96,23 @@ def clean_corpus(
     prev.unpersist()
 
     # -- 3. near-dup removal ----------------------------------------------
+    if near_dup_strategy not in ("greedy", "clusters"):
+        raise ValueError(f"unknown near_dup_strategy {near_dup_strategy!r}")
     pairs = minhash_near_dups(
         cur.select("doc_id", "text"), threshold=near_dup_threshold
     )
-    drop = pairs.select(
-        F.greatest("doc_a", "doc_b").alias("doc_id")
-    ).distinct()
+    if near_dup_strategy == "clusters":
+        from kgkit.operators.dedup import dup_clusters
+
+        drop = (
+            dup_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("canonical_id"))
+            .select("doc_id")
+        )
+    else:
+        drop = pairs.select(
+            F.greatest("doc_a", "doc_b").alias("doc_id")
+        ).distinct()
     prev = cur
     # no broadcast hint: the drop list is usually tiny but is NOT
     # bounded (a heavily-mirrored crawl can shed millions of ids) —

@@ -253,6 +253,33 @@ def minhash_near_dups(
     return verify_jaccard(pairs, shingled, threshold)
 
 
+def dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
+                 id_b: str = "doc_b") -> DataFrame:
+    """Near-dup pairs -> (doc_id, canonical_id): transitive duplicate
+    clusters.  Pair similarity is NOT an equivalence relation until
+    closed — a chain A~B, B~C must collapse to ONE survivor even though
+    (A, C) never appeared as a pair, otherwise a greedy pairwise drop
+    keeps both ends of every chain.  Reuses the KG canonicalization
+    stage's connected-components machinery (adaptive pointer-jumping,
+    graph-sized shuffle width, per-round localCheckpoint), with natural
+    ordering on the BIGINT doc_ids; canonical = smallest member.  Only
+    docs appearing in >= 1 pair come back — singletons are their own
+    canonical by definition, so the caller's keep-filter is
+    ``doc_id == canonical_id OR doc_id not in clusters``.
+
+    Scale: the pair graph is sparse by construction (every generator in
+    this module caps degenerate buckets), so the CC loop iterates on a
+    frame orders of magnitude below corpus size — the identical cost
+    profile as the entity-synonym CC, pinned O(log n) on chains."""
+    from kgkit.operators.canonicalize import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    cc = connected_components(edges, key_fn=lambda c: c)
+    return cc.select(
+        F.col("entity_id").alias("doc_id"), "canonical_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

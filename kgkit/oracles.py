@@ -738,7 +738,7 @@ def _corpus_clean_sql() -> str:
     clean_corpus over the accounting fixture (planted near-dup copies
     +100000, exact copies +200000 for doc_id % 9, messy urls):
     canonical-URL keep-min-id, md5 keep-min-id, MinHash+LSH greedy
-    right-drop at threshold 0.5 (the dedup_minhash_lsh fragments run
+    right-drop at threshold 0.5 (the MinHash pair-SQL fragments run
     over the s2 survivors, which is why that CTE is named docs2), then
     the Gopher keep flag."""
     return f"""
@@ -1696,8 +1696,11 @@ ORACLES = {
                      ELSE tag_iob1 END) = tag AS roundtrip_ok
         FROM b
     """,
-    "dedup_minhash_lsh": f"""
-        WITH {PLANTED_DOCS_CTE}, {SHINGLED_CTE},
+    # same shingle/band/verify pair SQL as the retired pair query, then
+    # transitively closed (recursive CTE — cluster diameters are tiny)
+    # and collapsed to min-member canonical per doc
+    "dedup_clusters": f"""
+        WITH RECURSIVE {PLANTED_DOCS_CTE}, {SHINGLED_CTE},
         dig AS (
             SELECT doc_id, sh,
                    list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)
@@ -1719,11 +1722,21 @@ ORACLES = {
             FROM cand c
             JOIN shingled sa ON sa.doc_id = c.doc_a
             JOIN shingled sb ON sb.doc_id = c.doc_b
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM ver
+            WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+        ),
+        sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
         )
-        SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-               round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
-        FROM ver
-        WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+        SELECT CAST(a AS BIGINT) AS doc_id,
+               CAST(LEAST(a, MIN(b)) AS BIGINT) AS canonical_id
+        FROM reach GROUP BY a
     """,
     "dedup_incremental": f"""
         WITH {PLANTED_DOCS_CTE}, {SHINGLED_CTE},

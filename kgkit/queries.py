@@ -373,13 +373,18 @@ def _planted_docs(spark, sf_dir):
     return planted_near_dups(_documents(spark, sf_dir).select("doc_id", "text"))
 
 
-def _dedup_minhash_q(spark, sf_dir):
-    """MinHash+LSH near-dup pipeline on a planted-duplicate corpus."""
-    from kgkit.operators.dedup import minhash_near_dups
+def _dedup_clusters_q(spark, sf_dir):
+    """MinHash+LSH near-dups taken to RESOLUTION: pairs -> transitive
+    duplicate clusters (connected components, natural doc_id order) ->
+    canonical survivor per cluster.  Strictly subsumes the retired
+    pair query — the oracle recomputes the identical shingle/band/
+    verify pair SQL and then closes it with a recursive CTE, so a
+    wrong pair stream cannot produce matching clusters."""
+    from kgkit.operators.dedup import dup_clusters, minhash_near_dups
 
-    d = minhash_near_dups(_planted_docs(spark, sf_dir))
-    return d.select(
-        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard"
+    pairs = minhash_near_dups(_planted_docs(spark, sf_dir))
+    return dup_clusters(pairs).select(
+        F.col("doc_id").cast("long"), F.col("canonical_id").cast("long")
     )
 
 
@@ -889,6 +894,9 @@ def _q10_q(spark, sf_dir):
 #   ann_topk_ivf            -> ann_topk_ivf_kmeans (r5, real quantizer)
 #   asr_abidance            -> asr_corrected_bio (r5; the aggregate is
 #                              a projection of the full stream)
+#   dedup_minhash_lsh       -> dedup_clusters (r5; the cluster oracle
+#                              recomputes the identical pair SQL, then
+#                              closes it transitively)
 QUERIES = {
     # -- KG pipeline (stages 1-4): headroom = none, every row is a
     #    distinct pipeline stage gate
@@ -924,7 +932,7 @@ QUERIES = {
     # -- dedup family: exact / whole-doc-near / substring; fold next
     #    into the member sharing its candidate-generation scheme
     "dedup_exact": _dedup_exact_q,
-    "dedup_minhash_lsh": _dedup_minhash_q,
+    "dedup_clusters": _dedup_clusters_q,
     "dedup_incremental": _dedup_incremental_q,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard_q,
     "dedup_embedding_cosine": _dedup_embedding_q,

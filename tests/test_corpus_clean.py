@@ -56,6 +56,23 @@ class TestCleanCorpus:
         )
         assert total == stats["input"]
 
+    def test_cluster_strategy_matches_greedy_when_chain_free(self, spark):
+        """On a chain-free pair graph the transitive-cluster drop and
+        the greedy right-drop keep identical survivors (the chain case
+        where they differ is pinned in tests/test_dedup_clusters.py);
+        accounting stays conservative and bad strategies raise."""
+        import pytest
+
+        from kgkit.operators.corpus_clean import clean_corpus
+
+        cleaned, stats = clean_corpus(
+            _corpus(spark), near_dup_strategy="clusters"
+        )
+        assert sorted(r["doc_id"] for r in cleaned.collect()) == [1, 3, 7]
+        assert stats["dropped_near_dup"] == 1
+        with pytest.raises(ValueError):
+            clean_corpus(_corpus(spark), near_dup_strategy="nope")
+
     def test_null_urls_are_not_one_dedup_group(self, spark):
         """A sparsely-populated url column must not collapse every
         url-less doc into one NULL dedup key (mass data loss): the key
