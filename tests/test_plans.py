@@ -161,3 +161,38 @@ class TestRound4PlanShapes:
         for out in (hash_sample(df, 0.5),
                     mixture_sample(df, {"A": 1.5}, "tier")):
             assert "Exchange" not in _executed_plan(out)
+
+
+class TestRound5PlanShapes:
+    def test_page_links_is_jvm_only(self, spark):
+        """href extraction + URL resolution must stay a JVM
+        regexp/projection pipeline (scan-projection budget class): one
+        generator (explode), zero python, zero exchanges."""
+        from pyspark.sql import functions as F
+
+        from kgkit.operators.linkgraph import page_links
+
+        df = spark.range(10).select(
+            F.concat(F.lit("https://h"), F.col("id"), F.lit(".com/p")).alias("url"),
+            F.lit('<a href="https://x.org/a"></a><a href="/b"></a>').alias("html"),
+        )
+        plan = _executed_plan(page_links(df))
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Generate" in plan, plan
+
+    def test_host_edges_aggregates_with_partial_combine(self, spark):
+        """The corpus-to-graph collapse must be a hash aggregation with
+        a map-side partial (the page fan-in combines before the only
+        shuffle) — never a window over the raw link stream."""
+        from pyspark.sql import functions as F
+
+        from kgkit.operators.linkgraph import host_edges
+
+        links = spark.range(100).select(
+            F.concat(F.lit("https://s"), F.col("id") % 3, F.lit(".com/p")).alias("src_url"),
+            F.concat(F.lit("https://d"), F.col("id") % 5, F.lit(".com/q")).alias("dst_url"),
+        )
+        plan = _executed_plan(host_edges(links))
+        assert plan.count("HashAggregate") >= 2, plan  # partial + final
+        assert "Window" not in plan, plan
