@@ -154,6 +154,68 @@ class TestPagerank:
             v: (twin[v], out_w.get(v, 0), in_w.get(v, 0)) for v in twin
         }
 
+    def test_resolution_differential_fuzz(self, spark):
+        """Batched differential: page_links' JVM resolution rules vs a
+        pure-python twin over ~400 generated (src, href) shapes — one
+        Spark job, per-row comparison (a per-example Spark call would
+        be pathologically slow under hypothesis)."""
+        from urllib.parse import urlsplit
+
+        from kgkit.operators.linkgraph import page_links
+
+        srcs = [
+            "https://a.example.org/x/y",
+            "http://UPPER.Host:8080/p",
+            "https://user:pw@sec.org/q?k=v",
+            "http://plain.com",
+        ]
+        hrefs = [
+            "https://abs.org/p", "HTTPS://abs.org/P", "http://abs.org",
+            "//cdn.org/lib.js", "//cdn.org", "/", "/root", "/a/b?c=d#e",
+            "relative/path", "../up", "mailto:a@b.c", "javascript:x()",
+            "#frag", "", "ftp://files.org/f", "https//typo.org",
+            "  /spaces", "/ok#frag", "//",
+        ]
+
+        def twin(src, href):
+            if href.lower().startswith(("https://", "http://")):
+                return href
+            parts = urlsplit(src)
+            scheme = (parts.scheme or "").lower()
+            host = (parts.hostname or "").lower()
+            if href.startswith("//"):
+                return f"{scheme}:{href}"
+            if href.startswith("/"):
+                return f"{scheme}://{host}{href}"
+            return None
+
+        # unique subdomain per case so src_url is a join key (the twin
+        # parses the same mutated string, so expectations stay aligned)
+        cases = [
+            (s.replace("://", f"://c{i}."), h)
+            for i, (s, h) in enumerate(
+                (s, h) for s in srcs for h in hrefs
+            )
+        ]
+        html = [
+            (i, s, f'<p>x</p><a href="{h}">t</a>')
+            for i, (s, h) in enumerate(cases)
+        ]
+        df = spark.createDataFrame(html, "i long, url string, html string")
+        got = {}
+        for r in page_links(df, "url", "html").join(
+            df.select("i", F.col("url").alias("src_url")), "src_url"
+        ).collect():
+            got.setdefault(r["i"], []).append(r["dst_url"])
+        for i, (s, h) in enumerate(cases):
+            want = twin(s, h)
+            if '"' in h:
+                continue  # quote inside the attribute — not generated
+            if want is None:
+                assert i not in got, (s, h, got.get(i))
+            else:
+                assert got.get(i) == [want], (s, h, want, got.get(i))
+
     def test_anchors_invisible_to_text_extraction(self, spark):
         """The planted anchors must not perturb warc_pages' visible
         text (the warc_pages oracle stays byte-exact)."""
