@@ -115,16 +115,34 @@ _LOCAL_HISTORY = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.jsonl")
 
 
-def _last_local_record():
+def _driver_round():
+    """Current driver round from PROGRESS.jsonl (None outside the
+    harness)."""
+    try:
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "PROGRESS.jsonl")) as fh:
+            lines = [l for l in fh if l.strip()]
+        return json.loads(lines[-1]).get("round")
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _last_local_record(exclude_round=None):
     """Most recent self-recorded bench line (appended by main) — the
     normalization fallback when the driver's BENCH_r{N}.json failed to
-    parse its own capture."""
+    parse its own capture.  Records from ``exclude_round`` are skipped:
+    a second run in the same round must not normalize against its own
+    earlier capture (delta ~0 would mask real cross-round movement)."""
     try:
         with open(_LOCAL_HISTORY) as fh:
-            lines = [l for l in fh if l.strip()]
-        return json.loads(lines[-1]) if lines else None
+            recs = [json.loads(l) for l in fh if l.strip()]
     except (OSError, ValueError):
         return None
+    for rec in reversed(recs):
+        if exclude_round is None or rec.get("round") != exclude_round:
+            return rec
+    return None
 
 
 def normalized_deltas(timings, control, control_mp=None, prev_path=None):
@@ -158,9 +176,10 @@ def normalized_deltas(timings, control, control_mp=None, prev_path=None):
     if "parsed" in prev:
         prev = prev["parsed"]
         if not isinstance(prev, dict):
-            prev = _last_local_record()
+            prev = _last_local_record(exclude_round=_driver_round())
             if prev is None:
                 return {}
+            prev_path = _LOCAL_HISTORY  # honest "vs" label below
     prev_control = prev.get("host_control_docs_per_sec")
     prev_mp = prev.get("host_control_mp_pages_per_sec")
     prev_q = prev.get("queries", {})
@@ -264,10 +283,11 @@ def main() -> None:
         # other sf would poison cross-round comparisons)
         if sf == 0.1:
             try:
+                local = {k: v for k, v in record.items()
+                         if k != "normalized_vs_prev"}
+                local["round"] = _driver_round()
                 with open(_LOCAL_HISTORY, "a") as fh:
-                    fh.write(json.dumps(
-                        {k: v for k, v in record.items()
-                         if k != "normalized_vs_prev"}) + "\n")
+                    fh.write(json.dumps(local) + "\n")
             except OSError:
                 pass
     finally:

@@ -77,12 +77,15 @@ def clean_corpus(
     if url_col and url_col in docs.columns:
         from kgkit.operators.urls import canonical_url_col
 
-        # NULL urls must NOT collapse into one dedup group (a sparsely
-        # populated url column would silently drop every url-less doc
-        # but one) — fall back to a per-row unique doc:// key
+        # non-canonicalizable urls must NOT collapse into one dedup
+        # group: that covers SQL NULLs AND shared junk placeholders
+        # ('', 'N/A', '-' — ubiquitous in crawl metadata), either of
+        # which would silently drop every such doc but one.  A url the
+        # canonicalizer rejects is not evidence of resource identity,
+        # so fall back straight to a per-row unique doc:// key —
+        # identical-content junk-url docs still collapse in stage 2.
         key = F.coalesce(
             canonical_url_col(F.col(url_col)),
-            F.col(url_col),
             F.concat(F.lit("doc://"), F.col("doc_id")),
         )
         cur = keep_min_id(cur, key)

@@ -273,7 +273,14 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
     profile as the entity-synonym CC, pinned O(log n) on chains."""
     from kgkit.operators.canonicalize import connected_components
 
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # materialize the pair frame ONCE: connected_components consumes
+    # its edges three times up front (count + both union branches), and
+    # the candidate-join/verify lineage above a pair generator has no
+    # ReusedExchange (the repo-wide persist-at-fanout rule) — without
+    # this the most expensive stage of the dedup pipeline runs 3x
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint()
     cc = connected_components(edges, key_fn=lambda c: c)
     return cc.select(
         F.col("entity_id").alias("doc_id"), "canonical_id"

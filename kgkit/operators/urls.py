@@ -95,10 +95,15 @@ def canonical_url_col(url: Column) -> Column:
     # user:pass@ prefix must not eat the authority before the port)
     port = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/@:?#]*:(\d+)", 1)
-    default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
+    # compare and emit the port NUMERICALLY: the python spec goes
+    # through urlsplit().port (an int), so ':080' is the default port
+    # and ':08080' canonicalizes to ':8080' — a string comparison would
+    # silently split dedup groups between the two engines
+    port_n = port.try_cast("bigint")
+    default_port = F.when(scheme == "http", F.lit(80)).otherwise(F.lit(443))
     netloc = F.when(
-        (port == "") | (port == default_port), hostport
-    ).otherwise(F.concat(hostport, F.lit(":"), port))
+        (port == "") | (port_n == default_port), hostport
+    ).otherwise(F.concat(hostport, F.lit(":"), port_n.cast("string")))
     path = F.try_parse_url(u, F.lit("PATH"))
     path = F.when((path.isNull()) | (path == ""), F.lit("/")).otherwise(path)
     rawq = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
@@ -119,7 +124,7 @@ def canonical_url_col(url: Column) -> Column:
     )
     # out-of-range ports (e.g. :99999) are invalid URLs: the python
     # spec's urlsplit().port rejects them, so the column must too
-    port_ok = (port == "") | (port.try_cast("bigint") <= F.lit(65535))
+    port_ok = (port == "") | (port_n <= F.lit(65535))
     return F.when(
         scheme.isin("http", "https")
         & hostport.isNotNull() & (hostport != "") & port_ok,
@@ -248,21 +253,32 @@ def robots_apply(urls_df, rules_df, url_col: str = "url",
     path0 = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    # underscore-rename the rule columns BEFORE the join: the cleanup
+    # drop below must never eat caller-owned columns that happen to be
+    # named host/allow/plen/rx (host is a natural column in this
+    # codebase — host_stats and the link-graph family key on it)
+    rules = rules_df.select(
+        F.col("host").alias("_rhost"),
+        F.col("allow").alias("_allow"),
+        F.col("plen").alias("_plen"),
+        F.col("rx").alias("_rx"),
+    )
     fanned = (
         urls_df.withColumn("_host", host)
         .withColumn("_path", path)
-        .join(F.broadcast(rules_df), F.col("_host") == rules_df["host"],
+        .join(F.broadcast(rules), F.col("_host") == F.col("_rhost"),
               "left")
         .withColumn(
             "_hit",
-            F.when(F.expr("regexp_like(_path, rx)"),
-                   F.struct(F.col("plen"), F.col("allow"))),
+            F.when(F.expr("regexp_like(_path, _rx)"),
+                   F.struct(F.col("_plen").alias("plen"),
+                            F.col("_allow").alias("allow"))),
         )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_hit").isNotNull().desc(),
-        F.col("plen").desc_nulls_last(),
-        F.col("allow").desc_nulls_last(),
+        F.col("_plen").desc_nulls_last(),
+        F.col("_allow").desc_nulls_last(),
     )
     return (
         fanned.withColumn("_rn", F.row_number().over(w))
@@ -270,7 +286,8 @@ def robots_apply(urls_df, rules_df, url_col: str = "url",
         .withColumn(
             "allowed", F.coalesce(F.col("_hit.allow"), F.lit(True))
         )
-        .drop("_host", "_path", "_hit", "_rn", "host", "allow", "plen", "rx")
+        .drop("_host", "_path", "_hit", "_rn",
+              "_rhost", "_allow", "_plen", "_rx")
     )
 
 

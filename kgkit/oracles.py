@@ -544,8 +544,16 @@ def _canonical_url_select(src: str, url_col: str = "url") -> str:
            CASE WHEN scheme IN ('http', 'https') AND chost != ''
                  AND (cport = '' OR TRY_CAST(cport AS BIGINT) <= 65535)
                 THEN scheme || '://' ||
-                     (CASE WHEN cport = '' OR cport = dport THEN chost
-                           ELSE chost || ':' || cport END) ||
+                     -- numeric compare/emit: ':080' is the default
+                     -- port and ':08080' canonicalizes to ':8080',
+                     -- matching urlsplit().port in the python spec
+                     (CASE WHEN cport = ''
+                                OR TRY_CAST(cport AS BIGINT)
+                                   = CAST(dport AS BIGINT)
+                           THEN chost
+                           ELSE chost || ':' ||
+                                CAST(TRY_CAST(cport AS BIGINT) AS VARCHAR)
+                      END) ||
                      (CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) ||
                      (CASE WHEN kq = '' THEN '' ELSE '?' || kq END)
            END AS canonical_url
@@ -756,7 +764,7 @@ def _corpus_clean_sql() -> str:
     ccanon AS ({_canonical_url_select('ccu')}),
     k1 AS (
         SELECT doc_id, text,
-               COALESCE(canonical_url, url,
+               COALESCE(canonical_url,
                         'doc://' || CAST(doc_id AS VARCHAR)) AS k
         FROM ccanon
     ),

@@ -46,6 +46,12 @@ the manifest so a crash BETWEEN gen-write and part-deletion never
 double-loads a folded part (duplicate index rows would duplicate
 verify_jaccard pairs).  Restarting with the same checkpointLocation
 then resumes from the source offsets with the grown index intact.
+foreachBatch is at-least-once per batch: a sink failure or a crash
+between the durable part write and the offset commit REPLAYS a batch
+whose docs the index already contains, so ``process_batch`` keeps a
+replay guard (``_indexed_ids``) — a replayed batch is anti-joined out
+of its own pairs (no self-matches) and its part is never appended
+twice (tests/test_dedup_stream.py::TestReplayIdempotence).
 Deletion of folded parts is best-effort cleanup only (correctness
 comes from the manifest); on a real cluster ``index_dir`` lives on
 shared storage and the local ``shutil`` calls become FileSystem API
@@ -85,13 +91,13 @@ def _complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _scan_index_dir(index_dir: str) -> Tuple[Optional[str], List[str]]:
+def _scan_index_dir(index_dir: str) -> Tuple[Optional[str], List[str], set]:
     """Resolve the live durable parts: (latest valid gen name or None,
-    sorted unfolded batch part names).  A gen is valid only if BOTH its
-    parquet dirs are complete AND its manifest exists — the manifest is
-    renamed into place after the parquet write, so a torn compaction
-    simply falls back to the previous gen plus the still-present batch
-    parts it was folding."""
+    sorted unfolded batch part names, the gen's folded part names).  A
+    gen is valid only if BOTH its parquet dirs are complete AND its
+    manifest exists — the manifest is renamed into place after the
+    parquet write, so a torn compaction simply falls back to the
+    previous gen plus the still-present batch parts it was folding."""
     sh_base = os.path.join(index_dir, "shingles")
     names = sorted(os.listdir(sh_base)) if os.path.isdir(sh_base) else []
     gens = []
@@ -118,7 +124,7 @@ def _scan_index_dir(index_dir: str) -> Tuple[Optional[str], List[str]]:
         and _complete(os.path.join(sh_base, d))
         and _complete(os.path.join(index_dir, "bands", d))
     ]
-    return gen_name, batch_parts
+    return gen_name, batch_parts, folded
 
 
 class IncrementalDedupStream:
@@ -145,6 +151,13 @@ class IncrementalDedupStream:
         self._gen = 0
         self._batches_since_compact = 0
         self._spill: List[DataFrame] = []  # previous batch's scratch frames
+        # batch ids already folded into the index — the replay guard.
+        # foreachBatch is at-least-once per batch: a sink failure (or a
+        # crash between the durable part write and the offset commit)
+        # replays a batch whose docs the index already contains, which
+        # without the guard would emit self-pairs and append the part
+        # twice (duplicated index rows double verify_jaccard output).
+        self._indexed_ids: set = set()
         # index = lists of materialized frames; entry 0 is the corpus.
         # part_names tracks the durable dir behind each frame (resume /
         # compaction manifest bookkeeping); None when not durable.
@@ -168,7 +181,7 @@ class IncrementalDedupStream:
         ``checkpoint_dir`` so the restarted query continues from the
         recorded source offsets."""
         stm = cls(None, index_dir=index_dir, **kwargs)
-        gen_name, batch_parts = _scan_index_dir(index_dir)
+        gen_name, batch_parts, folded = _scan_index_dir(index_dir)
         names = ([gen_name] if gen_name else []) + batch_parts
         if not names:
             raise FileNotFoundError(f"no complete index parts in {index_dir}")
@@ -185,6 +198,15 @@ class IncrementalDedupStream:
         stm._batches_since_compact = sum(
             1 for n in names if n != "batch=corpus" and not n.startswith("gen=")
         )
+        # replay guard: ids of every durably indexed batch — standalone
+        # parts plus the parts the latest gen's manifest folded (the
+        # replay window only ever reaches the most recent uncommitted
+        # batch, so older, manifest-deleted generations are irrelevant)
+        stm._indexed_ids = {
+            int(n.split("=")[1])
+            for n in batch_parts + list(folded)
+            if n.startswith("batch=") and n.split("=")[1].isdigit()
+        }
         return stm
 
     def _durable_write(self, sh: DataFrame, bt: DataFrame, name: str) -> None:
@@ -250,22 +272,57 @@ class IncrementalDedupStream:
             F.col("doc_b").alias("new_doc_id"),
             "jaccard",
         )
+        # replay guard, output side: foreachBatch is at-least-once, so a
+        # REPLAYED batch's docs are already in the index (its append ran,
+        # the offset commit did not) and it would match against itself.
+        # Reproduce the original emission by anti-joining out pairs
+        # whose corpus side is the batch itself (build side batch-sized,
+        # broadcast).  Replay-conditional on purpose: a FRESH batch may
+        # legitimately re-carry a doc_id the corpus already has (a
+        # recrawl of the same document), and those cross-version pairs
+        # must flow.
+        replay = (
+            self.grow_index
+            and batch_id is not None
+            and batch_id in self._indexed_ids
+        )
+        if replay:
+            pairs = pairs.join(
+                F.broadcast(
+                    batch.select(
+                        F.col("doc_id").alias("corpus_doc_id")
+                    ).distinct()
+                ),
+                "corpus_doc_id",
+                "left_anti",
+            )
         if self.grow_index:
             # materialize this batch's result NOW (eager localCheckpoint)
             # so it no longer references sh_b/bt_b lineage, then append
             # the batch frames to the index as new parts — nothing is
             # unpersisted here, so there is no lazy-swap window
             pairs = pairs.localCheckpoint()
-            name = None
-            if self.index_dir and batch_id is not None:
-                name = f"batch={batch_id}"
-                self._durable_write(sh_b, bt_b, name)
-            self.sh_parts.append(sh_b)
-            self.bt_parts.append(bt_b)
-            self.part_names.append(name)
-            self._batches_since_compact += 1
-            if self._batches_since_compact >= self.compact_every:
-                self._compact()
+            if replay:
+                # replay guard, index side: the part is already in the
+                # index (in-memory from a sink retry, or durable via
+                # resume) — appending again would duplicate every index
+                # row.  Just drop the recomputed scratch frames; the
+                # durable dirs are overwrite-mode and unchanged.
+                sh_b.unpersist()
+                bt_b.unpersist()
+            else:
+                name = None
+                if self.index_dir and batch_id is not None:
+                    name = f"batch={batch_id}"
+                    self._durable_write(sh_b, bt_b, name)
+                if batch_id is not None:
+                    self._indexed_ids.add(batch_id)
+                self.sh_parts.append(sh_b)
+                self.bt_parts.append(bt_b)
+                self.part_names.append(name)
+                self._batches_since_compact += 1
+                if self._batches_since_compact >= self.compact_every:
+                    self._compact()
         else:
             self._spill = [sh_b, bt_b]
         return pairs

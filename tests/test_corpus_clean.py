@@ -56,6 +56,23 @@ class TestCleanCorpus:
         )
         assert total == stats["input"]
 
+    def test_junk_urls_are_not_one_dedup_group(self, spark):
+        """Shared non-canonicalizable placeholders ('', 'N/A') must not
+        become one dedup key any more than SQL NULLs: distinct-content
+        docs with junk urls all survive stage 1."""
+        from kgkit.operators.corpus_clean import clean_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "", TEXT_A), (2, "", TEXT_B),
+             (3, "N/A", TEXT_C), (4, "N/A", TEXT_A)],
+            "doc_id long, url string, text string",
+        )
+        cleaned, stats = clean_corpus(docs)
+        assert stats["dropped_url_dedup"] == 0
+        # the identical-content pair still collapses downstream
+        assert stats["dropped_exact"] == 1
+        assert sorted(r["doc_id"] for r in cleaned.collect()) == [1, 2, 3]
+
     def test_cluster_strategy_matches_greedy_when_chain_free(self, spark):
         """On a chain-free pair graph the transitive-cluster drop and
         the greedy right-drop keep identical survivors (the chain case

@@ -204,8 +204,9 @@ class TestIndexMaintenance:
         folded = json.load(open(os.path.join(idx, "manifest-0.json")))["folded"]
         assert "batch=0" in folded
 
-        gen, parts = _scan_index_dir(idx)
+        gen, parts, folded_scan = _scan_index_dir(idx)
         assert gen == "gen=0" and parts == []
+        assert "batch=0" in folded_scan
 
         resumed = IncrementalDedupStream.resume(spark, idx, grow_index=True)
         pairs = resumed.process_batch(
@@ -231,3 +232,66 @@ class TestIndexMaintenance:
         assert p1 == {(i, j, 1.0) for i in range(3) for j in (101, 102)}
         p2 = {tuple(r) for r in stm.process_batch(_df(spark, [(201, BASE)])).collect()}
         assert p2 == set()
+
+
+class TestReplayIdempotence:
+    """foreachBatch is at-least-once: a replayed batch (sink retry, or
+    crash between the durable part write and the offset commit) must
+    emit its ORIGINAL pairs — no self-matches — and must not append its
+    part to the index a second time."""
+
+    def test_in_session_retry_same_batch_id(self, spark):
+        from kgkit.streaming.dedup_stream import IncrementalDedupStream
+
+        stm = IncrementalDedupStream(
+            _df(spark, [(1, BASE)]), grow_index=True
+        )
+        batch = _df(spark, [(101, BASE), (102, THIRD)])
+        first = sorted(
+            tuple(r) for r in stm.process_batch(batch, batch_id=0).collect()
+        )
+        n_parts = len(stm.sh_parts)
+        # simulated sink failure -> Spark re-invokes the same batch_id
+        replay = sorted(
+            tuple(r) for r in stm.process_batch(batch, batch_id=0).collect()
+        )
+        assert replay == first == [(1, 101, 1.0)]
+        assert len(stm.sh_parts) == n_parts  # no double-append
+        # and the index still works for the NEXT batch
+        nxt = stm.process_batch(_df(spark, [(201, THIRD)]), batch_id=1)
+        assert sorted(tuple(r) for r in nxt.collect()) == [(102, 201, 1.0)]
+
+    def test_resume_then_replay_uncommitted_batch(self, spark, tmp_path):
+        from kgkit.streaming.dedup_stream import IncrementalDedupStream
+
+        idx = str(tmp_path / "idx")
+        stm = IncrementalDedupStream(
+            _df(spark, [(1, BASE)]), grow_index=True,
+            compact_every=100, index_dir=idx,
+        )
+        batch = _df(spark, [(101, BASE)])
+        first = [tuple(r)
+                 for r in stm.process_batch(batch, batch_id=0).collect()]
+        assert first == [(1, 101, 1.0)]
+        # the durable part for batch 0 exists but pretend the offset
+        # commit never happened: a restarted stream resumes the index
+        # and replays batch 0
+        resumed = IncrementalDedupStream.resume(spark, idx, grow_index=True)
+        n_parts = len(resumed.sh_parts)
+        replay = [tuple(r)
+                  for r in resumed.process_batch(batch, batch_id=0).collect()]
+        assert replay == first  # no (101, 101) self-pair
+        assert len(resumed.sh_parts) == n_parts  # part not re-appended
+
+    def test_fresh_batch_recrawling_same_doc_id_still_pairs(self, spark):
+        """The guard is replay-conditional: a FRESH batch that re-uses a
+        corpus doc_id (a recrawl of the same document) must still emit
+        its cross-version pairs."""
+        from kgkit.streaming.dedup_stream import IncrementalDedupStream
+
+        stm = IncrementalDedupStream(
+            _df(spark, [(1, BASE), (2, OTHER)]), grow_index=True
+        )
+        # doc_id 1 comes around again in a new snapshot, same text
+        out = stm.process_batch(_df(spark, [(1, BASE)]), batch_id=0)
+        assert [tuple(r) for r in out.collect()] == [(1, 1, 1.0)]

@@ -26,6 +26,11 @@ CASES = [
     # the spec is total and returns None, matching the JVM column's NULL
     ("http://host:abc/", None),
     ("http://host:99999/x", None),
+    # leading-zero ports go through urlsplit().port as INTs: ':080' is
+    # the http default and ':08080' normalizes to ':8080'
+    ("http://host:080/a", "http://host/a"),
+    ("https://host:0443/", "https://host/"),
+    ("http://host:08080/x", "http://host:8080/x"),
 ]
 
 
@@ -160,6 +165,23 @@ class TestRobotsDistributed:
         )
         [row] = robots_apply(urls, rules).collect()
         assert row["allowed"] is True
+
+    def test_caller_columns_named_like_rule_columns_survive(self, spark):
+        """Cleanup must drop only the rule table's (renamed) columns —
+        a caller-owned 'host' (or allow/plen/rx) column passes through
+        intact."""
+        from kgkit.operators.urls import robots_apply, robots_rules_df
+
+        urls = spark.createDataFrame(
+            [(1, "https://a.example.io/private/x", "a.example.io", 7)],
+            "doc_id long, url string, host string, plen int",
+        )
+        rules = robots_rules_df(
+            spark, {"a.example.io": "User-agent: *\nDisallow: /private\n"}
+        )
+        [row] = robots_apply(urls, rules).collect()
+        assert row["allowed"] is False
+        assert row["host"] == "a.example.io" and row["plen"] == 7
 
     def test_broadcast_only_plan(self, spark):
         """The rule join must be a BroadcastHashJoin — no shuffle of the
