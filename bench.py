@@ -106,8 +106,9 @@ PARALLEL_STAGE_QUERIES = frozenset({
     "asr_corrected_bio", "eval_fanout", "dataset_stats",
     "hf_pretokenized_ingest", "hf_charspan_ingest",
     "tags_bilou", "iob1_roundtrip",
-    # r5: WARC Arrow parse / shingling HOFs dominate — parallel-stage
-    "host_authority", "dedup_clusters",
+    # r5: WARC Arrow parse / shingling HOFs / JVM regexp extraction
+    # dominate — parallel-stage
+    "host_authority", "dedup_clusters", "anchor_aliases",
 })
 
 

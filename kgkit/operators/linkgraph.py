@@ -55,36 +55,153 @@ def hrefs_col(html: Column) -> Column:
     return F.regexp_extract_all(html, F.lit(_HREF_RE), 1)
 
 
-def page_links(pages: DataFrame, url_col: str = "url",
-               html_col: str = "html") -> DataFrame:
-    """(url, html) -> (src_url, dst_url), one row per resolvable href.
+def resolve_href_col(src_url: Column, href: Column) -> Column:
+    """Resolve one href against its source page URL (NULL = drop).
 
     Absolute http(s) targets pass through; protocol-relative (//h/p)
     take the source scheme; root-relative (/p) resolve against the
     source origin.  Everything else — mailto:/javascript:/fragment/
-    directory-relative — is dropped: at crawl scale those are
-    link-graph noise, and directory-relative resolution needs the full
-    RFC 3986 merge that belongs in a recrawl frontier, not a ranking
-    signal."""
-    exploded = pages.select(
-        F.col(url_col).alias("src_url"),
-        F.explode(hrefs_col(F.col(html_col))).alias("href"),
-    )
-    href = F.col("href")
-    scheme = F.lower(F.try_parse_url(F.col("src_url"), F.lit("PROTOCOL")))
+    directory-relative — is NULL: at crawl scale those are link-graph
+    noise, and directory-relative resolution needs the full RFC 3986
+    merge that belongs in a recrawl frontier, not a ranking signal."""
+    scheme = F.lower(F.try_parse_url(src_url, F.lit("PROTOCOL")))
     origin = F.concat(
         scheme, F.lit("://"),
-        F.lower(F.try_parse_url(F.col("src_url"), F.lit("HOST"))),
+        F.lower(F.try_parse_url(src_url, F.lit("HOST"))),
     )
-    resolved = (
+    return (
         F.when(href.rlike(r"(?i)^https?://"), href)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(origin, href))
     )
+
+
+def page_links(pages: DataFrame, url_col: str = "url",
+               html_col: str = "html") -> DataFrame:
+    """(url, html) -> (src_url, dst_url), one row per resolvable href
+    (resolution rules: ``resolve_href_col``)."""
+    exploded = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(hrefs_col(F.col(html_col))).alias("href"),
+    )
+    resolved = resolve_href_col(F.col("src_url"), F.col("href"))
     return (
         exploded.select("src_url", resolved.alias("dst_url"))
         .filter(F.col("dst_url").isNotNull())
     )
+
+
+_ANCHOR_RE = (
+    r"""(?is)<a\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*>(.*?)</a>"""
+)
+
+
+def anchor_texts(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """(url, html) -> (src_url, dst_url, anchor): one row per
+    resolvable href carrying visible anchor text.
+
+    Anchor text is the classic web-scale ALIAS source: the web labels
+    every linked resource with the surface forms people use for it —
+    exactly what the KG linking stage's alias dictionary wants (the
+    reference ships a static dictionary; this mines one from the
+    corpus).  Extraction is two ``regexp_extract_all`` passes over the
+    same pattern zipped positionally (still one JVM projection);
+    anchor bodies are normalized like page text (nested tags stripped,
+    entities unescaped, whitespace collapsed — warc.html_text_col) and
+    lowercased; empty anchors (the pure link-graph case) drop out."""
+    from kgkit.sources.warc import html_text_col
+
+    pat = F.lit(_ANCHOR_RE)
+    exploded = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col(html_col), pat, 1).alias("href"),
+                F.regexp_extract_all(F.col(html_col), pat, 2).alias("raw"),
+            )
+        ).alias("a"),
+    )
+    return (
+        exploded.select(
+            "src_url",
+            resolve_href_col(
+                F.col("src_url"), F.col("a.href")
+            ).alias("dst_url"),
+            F.lower(html_text_col(F.col("a.raw"))).alias("anchor"),
+        )
+        .filter(F.col("dst_url").isNotNull() & (F.col("anchor") != ""))
+    )
+
+
+def alias_counts(anchors: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor) -> (dst_url, alias, n_refs): the
+    alias dictionary the web provides for each resource, weighted by
+    reference count.  One aggregation with map-side combine — the
+    corpus-sized anchor stream collapses to (resource × surface-form)
+    before the only shuffle; at 100 TB the result is the broadcast-
+    sized table the linking stage consumes."""
+    return (
+        anchors.groupBy(
+            F.col("dst_url"), F.col("anchor").alias("alias")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_refs"))
+    )
+
+
+def aliases_from_anchors(counts: DataFrame, min_refs: int = 1) -> DataFrame:
+    """(dst_url, alias, n_refs) -> the linking stage's alias-dictionary
+    schema (alias, entity_id, entity_num, prior): each linked resource
+    becomes an entity keyed by its URL, and an alias's prior is its
+    reference share among that surface form's targets — the same
+    P(entity | surface) a wikification dictionary carries, mined from
+    the corpus instead of curated.  ``link_mentions(aliases=...)``
+    consumes the result directly (tests pin the composition); the
+    frame is (resource × surface)-sized, broadcastable by
+    construction.  entity_num is a deterministic 31-bit hash of the
+    URL — mined entities carry no embedding row, so it only needs to
+    be stable and collision-sparse for the rerank gate."""
+    from pyspark.sql import Window
+
+    total = F.sum("n_refs").over(Window.partitionBy("alias"))
+    return (
+        counts.filter(F.col("n_refs") >= min_refs)
+        .select(
+            "alias",
+            F.col("dst_url").alias("entity_id"),
+            F.pmod(F.xxhash64("dst_url"), F.lit(1 << 31))
+            .cast("int").alias("entity_num"),
+            F.round(F.col("n_refs") / total, 6).alias("prior"),
+        )
+    )
+
+
+def with_anchor_html(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) -> + (url, html): a deterministic anchor-rich
+    page per doc, built entirely IN Spark expressions — no driver loop,
+    and the oracle replays the identical string arithmetic in SQL
+    (oracles: anchor_aliases).  Fixed-modulus link targets (997) avoid
+    any corpus-count scalar; doc i carries one absolute cross-host
+    anchor with plain text and one root-relative anchor whose body
+    exercises the normalizer (nested tag, double-escaped entity,
+    padding whitespace)."""
+    i = F.col("doc_id")
+    j1 = (i * 7 + 1) % 997
+    j2 = (i * 3 + 2) % 997
+    s = lambda c: c.cast("string")  # noqa: E731 — local shorthand
+    url = F.concat(
+        F.lit("https://w"), s(i % 8), F.lit(".example.org/d/"), s(i)
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<a href="https://w'), s(j1 % 8),
+        F.lit('.example.org/d/'), s(j1),
+        F.lit('">entity '), s(j1 % 40), F.lit("</a>"),
+        F.lit('<a href="/d/'), s(j2),
+        F.lit('"> <b>Entity '), s(j2 % 40),
+        F.lit("</b> &amp; News </a></body></html>"),
+    )
+    return docs.withColumn("url", url).withColumn("html", html)
 
 
 def host_edges(links: DataFrame) -> DataFrame:

@@ -1547,15 +1547,32 @@ ORACLES = {
         ORDER BY revenue DESC, c.c_custkey ASC
         LIMIT 20
     """,
-    "q14_promo_revenue": """
-        SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                                      THEN l.l_extendedprice * (1 - l.l_discount)
-                                      ELSE 0.0 END)
-                     / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
-                   AS promo_revenue_pct
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+    # replay of linkgraph.with_anchor_html's string arithmetic: doc i
+    # emits an absolute anchor to j1=(7i+1)%997 with text 'entity j1%40'
+    # and a root-relative anchor to j2=(3i+2)%997 whose decorated body
+    # (' <b>Entity X</b> &amp; News ') normalizes to 'entity X & news';
+    # the relative target resolves against doc i's own host w{i%8}
+    "anchor_aliases": """
+        WITH a AS (
+            SELECT 'https://w'
+                       || CAST(((7 * doc_id + 1) % 997) % 8 AS VARCHAR)
+                       || '.example.org/d/'
+                       || CAST((7 * doc_id + 1) % 997 AS VARCHAR) AS dst_url,
+                   'entity '
+                       || CAST(((7 * doc_id + 1) % 997) % 40 AS VARCHAR)
+                       AS alias
+            FROM documents
+            UNION ALL
+            SELECT 'https://w' || CAST(doc_id % 8 AS VARCHAR)
+                       || '.example.org/d/'
+                       || CAST((3 * doc_id + 2) % 997 AS VARCHAR),
+                   'entity '
+                       || CAST(((3 * doc_id + 2) % 997) % 40 AS VARCHAR)
+                       || ' & news'
+            FROM documents
+        )
+        SELECT dst_url, alias, CAST(COUNT(*) AS BIGINT) AS n_refs
+        FROM a GROUP BY dst_url, alias
     """,
     "user_sessions": """
         WITH g AS (

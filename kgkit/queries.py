@@ -750,27 +750,23 @@ def _corpus_clean_accounting_q(spark, sf_dir):
     )
 
 
-def _q14_q(spark, sf_dir):
-    """TPC-H Q14-style promo revenue share: fact ⋈ broadcast(part) with a
-    conditional aggregate."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
-        )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
-                        .otherwise(F.lit(0.0)))
-                / F.sum(rev),
-                4,
-            ).alias("promo_revenue_pct")
-        )
+def _anchor_aliases_q(spark, sf_dir):
+    """Anchor-text alias mining end to end: deterministic anchor-rich
+    pages (with_anchor_html — built entirely in Spark expressions, no
+    driver loop) through the two-group extraction, relative-URL
+    resolution, anchor normalization (nested tag strip, double-escaped
+    entity, whitespace collapse, lowercase) and the (resource × alias)
+    aggregation the KG linking stage would broadcast.  The oracle
+    replays the identical string arithmetic in SQL."""
+    from kgkit.operators.linkgraph import (
+        alias_counts,
+        anchor_texts,
+        with_anchor_html,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return alias_counts(anchor_texts(with_anchor_html(docs))).select(
+        "dst_url", "alias", F.col("n_refs").cast("long")
     )
 
 
@@ -897,6 +893,10 @@ def _q10_q(spark, sf_dir):
 #   dedup_minhash_lsh       -> dedup_clusters (r5; the cluster oracle
 #                              recomputes the identical pair SQL, then
 #                              closes it transitively)
+#   q14_promo_revenue       -> q1/q3/q10 (r5; broadcast-join + agg and
+#                              conditional-aggregate shapes both remain
+#                              covered — the slot funds anchor_aliases,
+#                              which the KG tier values higher)
 QUERIES = {
     # -- KG pipeline (stages 1-4): headroom = none, every row is a
     #    distinct pipeline stage gate
@@ -942,8 +942,9 @@ QUERIES = {
     "ann_topk_ivf_kmeans": _ann_topk_ivf_kmeans_q,
     # -- multimodal binary columns
     "media_stats": _media_stats_q,
-    # -- link graph / web authority
+    # -- link graph / web authority / anchor alias mining
     "host_authority": _host_authority_q,
+    "anchor_aliases": _anchor_aliases_q,
     # -- sources / ingestion roundtrips
     "hf_pretokenized_ingest": _hf_pretokenized_ingest_q,
     "hf_charspan_ingest": _hf_charspan_ingest_q,
@@ -959,7 +960,6 @@ QUERIES = {
     "iob1_roundtrip": _iob1_roundtrip_q,
     # -- relational / streaming-twin baseline queries
     "events_hourly": _events_hourly_q,
-    "q14_promo_revenue": _q14_q,
     "user_sessions": _user_sessions_q,
     "q1_pricing_summary": _q1_q,
     "q3_shipping_priority": _q3_q,

@@ -232,3 +232,109 @@ class TestPagerank:
         assert df.select(
             html_text_col(F.col("html")).alias("t")
         ).first()["t"] == "hello world"
+
+
+class TestAnchorAliases:
+    def test_extraction_and_normalization(self, spark):
+        from kgkit.operators.linkgraph import anchor_texts
+
+        html = (
+            '<a href="https://t.org/a"> <b>Spark</b> &amp; SQL </a>'
+            '<a href="/b">Nested <i>emphasis</i>here</a>'
+            '<a href="https://t.org/c"></a>'  # empty: link-graph only
+            '<a href="mailto:x@y">mailed</a>'  # unresolvable: dropped
+        )
+        df = spark.createDataFrame(
+            [("https://src.org/p", html)], "url string, html string"
+        )
+        got = {(r["dst_url"], r["anchor"])
+               for r in anchor_texts(df).collect()}
+        assert got == {
+            ("https://t.org/a", "spark & sql"),
+            ("https://src.org/b", "nested emphasis here"),
+        }
+
+    def test_alias_counts_aggregate(self, spark):
+        from kgkit.operators.linkgraph import alias_counts
+
+        anchors = spark.createDataFrame(
+            [("s1", "https://t.org/a", "alpha"),
+             ("s2", "https://t.org/a", "alpha"),
+             ("s3", "https://t.org/a", "beta"),
+             ("s4", "https://t.org/b", "alpha")],
+            "src_url string, dst_url string, anchor string",
+        )
+        got = {(r["dst_url"], r["alias"]): r["n_refs"]
+               for r in alias_counts(anchors).collect()}
+        assert got == {
+            ("https://t.org/a", "alpha"): 2,
+            ("https://t.org/a", "beta"): 1,
+            ("https://t.org/b", "alpha"): 1,
+        }
+
+    def test_fixture_formula_twin(self, spark):
+        """alias_counts over with_anchor_html == the oracle's formula,
+        recomputed in python for a slice of docs."""
+        from kgkit.operators.linkgraph import (
+            alias_counts, anchor_texts, with_anchor_html,
+        )
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(60)
+        )
+        got = {(r["dst_url"], r["alias"]): r["n_refs"]
+               for r in alias_counts(
+                   anchor_texts(with_anchor_html(docs))).collect()}
+        want: dict = {}
+        for r in docs.collect():
+            i = r["doc_id"]
+            j1, j2 = (7 * i + 1) % 997, (3 * i + 2) % 997
+            k1 = (f"https://w{j1 % 8}.example.org/d/{j1}",
+                  f"entity {j1 % 40}")
+            k2 = (f"https://w{i % 8}.example.org/d/{j2}",
+                  f"entity {j2 % 40} & news")
+            for k in (k1, k2):
+                want[k] = want.get(k, 0) + 1
+        assert got == want
+
+
+class TestMinedAliasLinking:
+    def test_mined_dictionary_feeds_link_mentions(self, spark):
+        """The full KG composition: anchors mined from pages become the
+        linking stage's alias dictionary (aliases_from_anchors), and
+        link_mentions resolves a mention of a mined surface form to the
+        web resource the corpus itself labelled with it."""
+        from kgkit.operators.linking import link_mentions
+        from kgkit.operators.linkgraph import (
+            alias_counts,
+            aliases_from_anchors,
+            anchor_texts,
+            with_anchor_html,
+        )
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(40)
+        )
+        mined = aliases_from_anchors(
+            alias_counts(anchor_texts(with_anchor_html(docs)))
+        )
+        # pick a surface with exactly one mined candidate: the link must
+        # land on that resource with its full prior
+        row = (
+            mined.groupBy("alias")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.first("entity_id").alias("e"))
+            .filter("n = 1").orderBy("alias").first()
+        )
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        mentions = spark.createDataFrame(
+            [("doc://0", 0, 0, 5, row["alias"], "ORG"),
+             ("doc://0", 1, 10, 15, "never an anchor text", "ORG")],
+            "url string, mention_id long, char_start long, char_end long, "
+            "surface string, tag string",
+        )
+        out = link_mentions(mentions, emb, aliases=mined).collect()
+        assert len(out) == 1  # the unknown surface is dropped
+        assert out[0]["entity_id"] == row["e"]
