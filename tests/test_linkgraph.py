@@ -338,3 +338,63 @@ class TestMinedAliasLinking:
         out = link_mentions(mentions, emb, aliases=mined).collect()
         assert len(out) == 1  # the unknown surface is dropped
         assert out[0]["entity_id"] == row["e"]
+
+
+class TestAuthorityWeightedMixing:
+    def test_rank_tiers_drive_mixture_sample(self, spark):
+        """The 100-TB curation composition, pinned end to end: host
+        authority (PageRank over the WARC fixture's planted graph) ->
+        per-host quality tier -> deterministic per-tier mixture
+        sampling of the page corpus.  All existing operators; the test
+        pins that the tiers derive from the rank order and that the
+        sample is reproducible and tier-monotone."""
+        from kgkit.operators.linkgraph import host_authority
+        from kgkit.operators.sampling import mixture_sample
+        from kgkit.sources.warc import (
+            read_warc,
+            synth_warc_fixture,
+            warc_pages,
+        )
+
+        glob = synth_warc_fixture(
+            spark, "/root/testdata/sf0.001", out_dir="/tmp/kgkit_mix_fix"
+        )
+        raw = (
+            read_warc(spark, glob)
+            .filter((F.col("warc_type") == "response")
+                    & (F.col("mime") == "text/html")
+                    & F.col("http_status").between(200, 299))
+            .select("url", F.col("payload").cast("string").alias("html"))
+        )
+        auth = host_authority(raw).localCheckpoint()  # fan-out: 2 users
+        # top half of hosts by rank = head tier (deterministic:
+        # percent_rank over the 8 fixture hosts)
+        from pyspark.sql import Window
+
+        tiers = auth.select(
+            "host",
+            F.when(
+                F.percent_rank().over(
+                    Window.orderBy(F.col("rank_q").desc(), "host")
+                ) < 0.5,
+                F.lit("head"),
+            ).otherwise(F.lit("tail")).alias("tier"),
+        )
+        pages = warc_pages(spark, glob).select(
+            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+            .alias("host"),
+            F.xxhash64("url").alias("doc_id"),
+        )
+        mixed = pages.join(F.broadcast(tiers), "host")
+        out1 = mixture_sample(mixed, {"head": 0.8, "tail": 0.2}, "tier")
+        out2 = mixture_sample(mixed, {"head": 0.8, "tail": 0.2}, "tier")
+        r1 = sorted((r["doc_id"], r["replica"]) for r in out1.collect())
+        assert r1 == sorted(
+            (r["doc_id"], r["replica"]) for r in out2.collect()
+        )  # bit-reproducible
+        kept = out1.groupBy("tier").count().collect()
+        n_by_tier = {r["tier"]: r["count"] for r in kept}
+        tot = {r["tier"]: r["count"]
+               for r in mixed.groupBy("tier").count().collect()}
+        # authority-weighted: the head tier keeps a larger share
+        assert n_by_tier["head"] / tot["head"] > n_by_tier["tail"] / tot["tail"]
