@@ -368,9 +368,22 @@ def _unicode_nfc_q(spark, sf_dir):
 
 
 def _planted_docs(spark, sf_dir):
+    """Planted-duplicate corpus for the dedup family — WIDENED: the
+    driver's single-row-group parquet scans as 2 partitions, which
+    serializes the CPU-bound shingling/winnowing HOF stages on 2 of 32
+    cores (same pathology widen_for_udf fixed for the Arrow-UDF
+    queries in r3; measured r5: winnow_fingerprints alone 6.5 s ->
+    ~1 s once wide).  Widened AFTER the planted union at ONE wave:
+    widening the base first compounds through the union's branches
+    (64+32+32 partitions) and the extra tasks tax every stage of the
+    multi-stage consumers.  No-op at real scan widths."""
     from kgkit.operators.dedup import planted_near_dups
+    from kgkit.sources.pages import widen_for_udf
 
-    return planted_near_dups(_documents(spark, sf_dir).select("doc_id", "text"))
+    return widen_for_udf(
+        planted_near_dups(_documents(spark, sf_dir).select("doc_id", "text")),
+        waves=1,
+    )
 
 
 def _dedup_clusters_q(spark, sf_dir):
