@@ -825,6 +825,54 @@ def _corpus_clean_sql() -> str:
     """
 
 
+def _quality_trained_sql() -> str:
+    """Trained quality classifier forward (operators/quality_clf.py)
+    replayed relationally: the packaged checkpoint's non-zero weights
+    are injected as a VALUES table (the _trained_tags_cte discipline),
+    the hashed unigram+bigram stream is rebuilt with the identical
+    md5-7-hex-prefix bucket hash (the dedup shingle convention), and
+    score_q = b_q + SUM(w_q) is an exact BIGINT; the logit is one IEEE
+    division both engines perform identically.  Empty / single-word /
+    all-OOV documents survive via the outer join back to the doc list
+    (Spark's explode_outer twin)."""
+    import numpy as np
+
+    from kgkit.operators.quality_clf import D, Q, default_quality_clf
+
+    m = default_quality_clf()
+    nz = np.flatnonzero(m.w_q)
+    wrows = ", ".join(f"({int(b)}, {int(m.w_q[b])})" for b in nz)
+    return f"""
+WITH qw AS (SELECT * FROM (VALUES {wrows}) t(bucket, w_q)),
+qt AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+    FROM documents
+),
+qk AS (
+    SELECT doc_id, unnest(list_concat(
+        list_transform(ws, w -> 'u|' || w),
+        CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(ws)),
+                                 i -> 'b|' || ws[i] || ' ' || ws[i + 1])
+        END)) AS k
+    FROM qt
+),
+qs AS (
+    SELECT k.doc_id, SUM(w.w_q) AS s
+    FROM qk k JOIN qw w
+      ON w.bucket = ('0x' || substr(md5(k.k), 1, 7))::BIGINT % {D}
+    GROUP BY k.doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(q.s, 0) + {m.b_q} AS BIGINT) AS score_q,
+       (COALESCE(q.s, 0) + {m.b_q}) / {float(Q)} AS logit,
+       CAST(CASE WHEN COALESCE(q.s, 0) + {m.b_q} > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM qt t LEFT JOIN qs q USING (doc_id)
+"""
+
+
 def _nfc_oracle_sql() -> str:
     from kgkit.operators.text_quality import (
         NFD_EVERY,
@@ -1527,12 +1575,6 @@ ORACLES = {
                CAST(min(doc_id) AS BIGINT) AS keep_doc_id
         FROM documents GROUP BY md5(text)
     """,
-    "events_hourly": """
-        SELECT date_trunc('hour', ts) AS hour_start, event_type,
-               CAST(count(*) AS BIGINT) AS n,
-               round(sum(value), 4) AS total_value
-        FROM events GROUP BY 1, 2
-    """,
     "q10_returned_items": """
         SELECT c.c_custkey, c.c_name, n.n_name,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -1867,6 +1909,7 @@ ORACLES = {
     "ann_topk_ivf_kmeans": _ivf_kmeans_sql(),
     "substring_dup_winnow": _winnow_pairs_sql(),
     "lm_ppl_buckets": _lm_ppl_sql(),
+    "quality_trained": _quality_trained_sql(),
     "corpus_clean_accounting": _corpus_clean_sql(),
     # the canonicalizer re-implemented in DuckDB (regexp + list ops) —
     # an INDEPENDENT engine value-checks the JVM column expression

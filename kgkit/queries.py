@@ -811,13 +811,26 @@ def _user_sessions_q(spark, sf_dir):
     )
 
 
-def _events_hourly_q(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return events.groupBy(
-        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
-    ).agg(
-        F.count("*").cast("long").alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+def _quality_trained_q(spark, sf_dir):
+    """Trained quality classifier (operators/quality_clf.py) scoring
+    the documents table with the packaged checkpoint: hashed
+    unigram+bigram stream -> broadcast weight join -> one
+    groupBy(doc_id) BIGINT sum.  score_q is exact; logit is the one
+    IEEE division both engines perform identically (the
+    predict_proba_nn precedent); the DuckDB oracle replays the
+    identical md5-prefix bucket hashing and weight table."""
+    from kgkit.operators.quality_clf import (
+        default_quality_clf,
+        quality_clf_score,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    out = quality_clf_score(docs, default_quality_clf())
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("score_q").cast("long"),
+        "logit",
+        F.col("keep").cast("long"),
     )
 
 
@@ -910,6 +923,13 @@ def _q10_q(spark, sf_dir):
 #                              conditional-aggregate shapes both remain
 #                              covered — the slot funds anchor_aliases,
 #                              which the KG tier values higher)
+#   events_hourly           -> user_sessions + q1 (r5; the hourly
+#                              groupBy is the least-informative member
+#                              of the relational family — the window
+#                              sessionization and the TPC-H aggregates
+#                              cover its shapes; the slot funds
+#                              quality_trained, the trained corpus
+#                              filter the LLM tier values higher)
 QUERIES = {
     # -- KG pipeline (stages 1-4): headroom = none, every row is a
     #    distinct pipeline stage gate
@@ -942,6 +962,7 @@ QUERIES = {
     "unicode_nfc": _unicode_nfc_q,
     "host_stats": _host_stats_q,
     "lm_ppl_buckets": _lm_ppl_buckets_q,
+    "quality_trained": _quality_trained_q,
     # -- dedup family: exact / whole-doc-near / substring; fold next
     #    into the member sharing its candidate-generation scheme
     "dedup_exact": _dedup_exact_q,
@@ -972,7 +993,6 @@ QUERIES = {
     "tags_bilou": _tags_bilou_q,
     "iob1_roundtrip": _iob1_roundtrip_q,
     # -- relational / streaming-twin baseline queries
-    "events_hourly": _events_hourly_q,
     "user_sessions": _user_sessions_q,
     "q1_pricing_summary": _q1_q,
     "q3_shipping_priority": _q3_q,
