@@ -57,6 +57,7 @@ def clean_corpus(
     near_dup_threshold: float = 0.5,
     quality_kwargs: dict = None,
     near_dup_strategy: str = "greedy",
+    quality_clf=None,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """docs(doc_id, url?, text) -> (cleaned docs, per-stage stats).
 
@@ -66,7 +67,13 @@ def clean_corpus(
     of each pair the larger id drops; cheap, but a chain A~B~C keeps
     both ends) or ``'clusters'`` (dedup.dup_clusters: transitive
     closure via connected components, keep exactly the min member per
-    duplicate cluster — the principled collapse, one CC loop extra)."""
+    duplicate cluster — the principled collapse, one CC loop extra).
+
+    ``quality_clf``: an optional trained
+    ``quality_clf.QualityClassifier`` — adds a fifth stage (the CCNet
+    composition: dedup -> rules -> trained model) that keeps docs the
+    model scores positive; same plan budget as stage 4 (a broadcast
+    weight join + one groupBy inside the scorer, then a doc_id join)."""
     from kgkit.operators.dedup import minhash_near_dups
     from kgkit.operators.text_quality import gopher_quality
 
@@ -141,11 +148,31 @@ def clean_corpus(
     stats["after_quality"] = cur.count()
     prev.unpersist()
 
-    for a, b, key in (
+    boundaries = [
         ("input", "after_url_dedup", "dropped_url_dedup"),
         ("after_url_dedup", "after_exact_dedup", "dropped_exact"),
         ("after_exact_dedup", "after_near_dedup", "dropped_near_dup"),
         ("after_near_dedup", "after_quality", "dropped_quality"),
-    ):
+    ]
+
+    # -- 5. trained model filter (optional) --------------------------------
+    if quality_clf is not None:
+        from kgkit.operators.quality_clf import quality_clf_score
+
+        keep = (
+            quality_clf_score(cur.select("doc_id", "text"), quality_clf)
+            .filter(F.col("keep") == 1)
+            .select("doc_id")
+        )
+        prev = cur
+        cur = (
+            cur.join(keep, "doc_id", "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        stats["after_clf"] = cur.count()
+        prev.unpersist()
+        boundaries.append(("after_quality", "after_clf", "dropped_clf"))
+
+    for a, b, key in boundaries:
         stats[key] = stats[a] - stats[b]
     return cur, stats

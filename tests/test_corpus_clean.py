@@ -153,3 +153,45 @@ class TestCleanCorpus:
         kept = sorted(r["doc_id"] for r in cleaned.collect())
         assert kept == [1, 3, 7], (kept, stats)
         assert stats["dropped_near_dup"] == 2  # docs 2 and 5
+
+    def test_trained_clf_stage_catches_what_rules_cannot(self, spark):
+        # scrambled fluent text passes every Gopher rule (lengths,
+        # stopwords, alpha fraction are order-blind) — only the trained
+        # model's bigram features separate it.  The CCNet composition:
+        # dedup -> rules -> trained filter.
+        from kgkit.operators.corpus_clean import clean_corpus
+        from kgkit.operators.quality_clf import (
+            corrupt_scramble,
+            default_quality_clf,
+            fluent_pages,
+        )
+
+        pos = fluent_pages(12, seed=314)
+        neg = [corrupt_scramble(t, 99 + i) for i, t in enumerate(pos)]
+        rows = [(i, t) for i, t in enumerate(pos)] + [
+            (100 + i, t) for i, t in enumerate(neg)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        clf = default_quality_clf()
+        cleaned, stats = clean_corpus(
+            docs, url_col=None, quality_clf=clf,
+            quality_kwargs={"min_words": 5, "min_stopwords": 0},
+        )
+        kept = sorted(r["doc_id"] for r in cleaned.collect())
+        # rules drop nothing (order-blind signals identical per pair)
+        assert stats["dropped_quality"] == 0, stats
+        # the model stage drops the scrambled docs (>=11/12 — one miss
+        # tolerated at its 0.992 held-out accuracy), keeps the fluent
+        assert stats["dropped_clf"] >= 11, stats
+        assert sum(d >= 100 for d in kept) <= 1, kept
+        assert sum(d < 100 for d in kept) >= 11, kept
+        # accounting still conserves
+        assert stats["input"] - sum(
+            v for k, v in stats.items() if k.startswith("dropped_")
+        ) == stats["after_clf"], stats
+
+    def test_clf_stage_absent_by_default(self, spark):
+        from kgkit.operators.corpus_clean import clean_corpus
+
+        _, stats = clean_corpus(_corpus(spark))
+        assert "after_clf" not in stats and "dropped_clf" not in stats
