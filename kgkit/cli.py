@@ -92,6 +92,37 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Corpus hygiene end to end: clean_corpus over a parquet of
+    (doc_id, url?, text), cleaned parquet out, per-stage accounting as
+    the one JSON line a pipeline log wants.  --clf adds the trained
+    model filter stage (checkpoint path, or 'default' for the packaged
+    one)."""
+    from kgkit.operators.corpus_clean import clean_corpus
+
+    clf = None
+    if args.clf:
+        from kgkit.operators.quality_clf import (
+            QualityClassifier,
+            default_quality_clf,
+        )
+
+        clf = (default_quality_clf() if args.clf == "default"
+               else QualityClassifier.load(args.clf))
+    spark = _spark(args.shuffle_partitions)
+    docs = spark.read.parquet(args.input)
+    cleaned, stats = clean_corpus(
+        docs,
+        near_dup_threshold=args.near_dup_threshold,
+        near_dup_strategy=args.near_dup_strategy,
+        quality_clf=clf,
+    )
+    cleaned.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"input": args.input, "output": args.output,
+                      "stats": stats}))
+    return 0
+
+
 def cmd_lineage(args) -> int:
     """Results browser: print the `_lineage` rows of a pipeline run
     (the kgkit stand-in for the reference's mlflow UI launcher)."""
@@ -134,6 +165,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--shuffle-partitions", type=int, default=32)
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser(
+        "clean", help="clean_corpus over a parquet corpus, stats to stdout"
+    )
+    p.add_argument("input", help="parquet of (doc_id, url?, text)")
+    p.add_argument("output", help="cleaned parquet path")
+    p.add_argument("--clf", default=None,
+                   help="trained-filter checkpoint path, or 'default'")
+    p.add_argument("--near-dup-threshold", type=float, default=0.5)
+    p.add_argument("--near-dup-strategy", default="greedy",
+                   choices=["greedy", "clusters"])
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.set_defaults(fn=cmd_clean)
 
     p = sub.add_parser("lineage", help="print a run's _lineage rows")
     p.add_argument("run_dir")

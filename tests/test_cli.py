@@ -42,6 +42,7 @@ class TestParserSurface:
         sub = build_parser()._subparsers._group_actions[0]
         assert set(sub.choices) == {
             "predict", "predict-file", "run-pipeline", "evaluate", "lineage",
+            "clean",
         }
 
     def test_run_pipeline_requires_pages_and_out(self):
@@ -51,3 +52,31 @@ class TestParserSurface:
 
         with pytest.raises(SystemExit):
             build_parser().parse_args(["run-pipeline", "--out", "/tmp/x"])
+
+
+class TestCleanCommand:
+    def test_clean_writes_parquet_and_stats(self, spark, tmp_path, capsys):
+        # spark fixture keeps the session alive; cmd_clean's
+        # getOrCreate() reuses it
+        from kgkit.cli import main
+        from kgkit.operators.quality_clf import (
+            corrupt_scramble,
+            fluent_pages,
+        )
+
+        pos = fluent_pages(6, seed=77)
+        rows = [(i, t) for i, t in enumerate(pos)]
+        rows += [(50, pos[0]), (51, corrupt_scramble(pos[1], 5))]
+        src, dst = str(tmp_path / "in.pq"), str(tmp_path / "out.pq")
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+        rc = main(["clean", src, dst, "--clf", "default",
+                   "--shuffle-partitions", "8"])
+        assert rc == 0
+        import json as _json
+
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        stats = out["stats"]
+        assert stats["dropped_exact"] == 1          # doc 50
+        assert stats["dropped_clf"] >= 1            # doc 51
+        assert stats["after_clf"] == spark.read.parquet(dst).count()
