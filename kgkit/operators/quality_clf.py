@@ -224,8 +224,10 @@ def train_quality_clf(
     Full-batch GD; every cross-row sum is BIGINT so the result is
     bit-identical under any partitioning and equal to the numpy twin
     (train_quality_clf_py).  Weight update runs in driver numpy on
-    the exact collected gradient: w -= rint(lr * grad / (n * Q)) on
-    the 1/Q grid — deterministic because its inputs are integers."""
+    the exact collected gradient: in grid units, w_q -= rint(lr *
+    grad / n) (grad carries one factor of Q from err_q, cancelling
+    the grid scale) — deterministic because its inputs are
+    integers."""
     spark = docs.sparkSession
     X = (
         featurize(docs.select("doc_id", "text"))

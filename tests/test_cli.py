@@ -70,8 +70,14 @@ class TestCleanCommand:
         src, dst = str(tmp_path / "in.pq"), str(tmp_path / "out.pq")
         spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
 
-        rc = main(["clean", src, dst, "--clf", "default",
-                   "--shuffle-partitions", "8"])
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            rc = main(["clean", src, dst, "--clf", "default",
+                       "--shuffle-partitions", "8"])
+        finally:
+            # cmd_clean's getOrCreate() applied its runtime conf to the
+            # shared test session — restore for later modules
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         assert rc == 0
         import json as _json
 
