@@ -1,0 +1,177 @@
+"""Incremental KG construction stream: stream == batch, replay
+idempotence, durable resume, counts compaction."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def landing_dir(spark):
+    """sf0.001 pages as 4 parquet files (one micro-batch each at
+    maxFilesPerTrigger=1); every url lands in exactly one file."""
+    from kgkit.sources.pages import load_pages
+
+    d = tempfile.mkdtemp(prefix="kgkit_kgstream_")
+    load_pages(spark, SF_DIR).repartition(4).write.mode("overwrite").parquet(
+        f"{d}/pages"
+    )
+    yield f"{d}/pages"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _batch_triples(spark, pages, embeddings):
+    """The one-shot batch pipeline over the same pages."""
+    from kgkit.operators.canonicalize import canonical_map
+    from kgkit.operators.linking import link_mentions
+    from kgkit.operators.mentions import detect_mentions
+    from kgkit.operators.triples import assemble_triples
+
+    return assemble_triples(
+        link_mentions(detect_mentions(pages), embeddings),
+        canonical_map(spark),
+    )
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestStreamEqualsBatch:
+    def test_triples_and_counts_match_batch(
+        self, spark, landing_dir, embeddings, tmp_path
+    ):
+        from kgkit.streaming.kg_stream import IncrementalKGStream
+        from kgkit.sources.pages import PAGE_SCHEMA
+
+        stm = IncrementalKGStream(
+            embeddings, triples_dir=str(tmp_path / "store")
+        )
+        stream = (
+            spark.readStream.schema(PAGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing_dir)
+        )
+        q = stm.attach(
+            stream,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger_once=True,
+        )
+        q.awaitTermination(300)
+        assert len(stm._counted_ids) >= 2  # genuinely multi-batch
+
+        batch = _batch_triples(
+            spark, spark.read.parquet(landing_dir), embeddings
+        )
+        got = _rows(stm.triples(spark))
+        want = _rows(batch)
+        assert len(want) > 0 and got == want
+
+        from pyspark.sql import functions as F
+
+        got_counts = _rows(stm.entity_counts())
+        want_counts = _rows(
+            batch.groupBy("obj").count().select(
+                "obj", F.col("count").cast("long").alias("n_triples")
+            )
+        )
+        assert got_counts == want_counts
+
+
+class TestReplayIdempotence:
+    def test_same_batch_id_counts_once(self, spark, embeddings, tmp_path):
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+        from kgkit.streaming.kg_stream import IncrementalKGStream
+
+        pages = pages_for_mentions(load_pages(spark, SF_DIR)).filter(
+            "pmod(xxhash64(url), 5) = 0"
+        )
+        stm = IncrementalKGStream(
+            embeddings, triples_dir=str(tmp_path / "store")
+        )
+        first = _rows(stm.process_batch(pages, batch_id=0))
+        # foreachBatch replay: same batch_id, same rows
+        replay = _rows(stm.process_batch(pages, batch_id=0))
+        assert replay == first
+        assert len(stm.count_parts) == 1  # guarded: no second part
+        assert _rows(stm.triples(spark)) == first  # dir overwritten, not doubled
+        want = {}
+        for row in first:
+            # columns sorted: bucket, char_end, char_start, obj, pred, subj, url
+            want[row[3]] = want.get(row[3], 0) + 1
+        got = {r["obj"]: r["n_triples"] for r in stm.entity_counts().collect()}
+        assert got == want
+
+
+class TestDurableResume:
+    def test_resume_continues_without_source_replay(
+        self, spark, embeddings, tmp_path
+    ):
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+        from kgkit.streaming.kg_stream import IncrementalKGStream
+
+        pages = pages_for_mentions(load_pages(spark, SF_DIR)).filter(
+            "pmod(xxhash64(url), 4) = 0"
+        )
+        slices = [
+            pages.filter(f"pmod(xxhash64(url), 3) = {i}") for i in range(3)
+        ]
+        store = str(tmp_path / "store")
+        stm = IncrementalKGStream(embeddings, triples_dir=store)
+        stm.process_batch(slices[0], batch_id=0)
+        stm.process_batch(slices[1], batch_id=1)
+
+        # crash: a fresh object resumes from the store alone
+        stm2 = IncrementalKGStream.resume(spark, embeddings, store)
+        assert stm2._counted_ids == {0, 1}
+        stm2.process_batch(slices[2], batch_id=2)
+
+        batch = _batch_triples(spark, pages, embeddings)
+        assert _rows(stm2.triples(spark)) == _rows(batch)
+        got = {r["obj"]: r["n_triples"] for r in stm2.entity_counts().collect()}
+        want = {r["obj"]: r["count"] for r in batch.groupBy("obj").count().collect()}
+        assert got == want
+
+    def test_resume_empty_store_raises(self, spark, embeddings, tmp_path):
+        from kgkit.streaming.kg_stream import IncrementalKGStream
+
+        with pytest.raises(FileNotFoundError):
+            IncrementalKGStream.resume(
+                spark, embeddings, str(tmp_path / "nothing")
+            )
+
+
+class TestCountsCompaction:
+    def test_compaction_preserves_counts_and_folds_parts(
+        self, spark, embeddings
+    ):
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+        from kgkit.streaming.kg_stream import IncrementalKGStream
+
+        pages = pages_for_mentions(load_pages(spark, SF_DIR)).filter(
+            "pmod(xxhash64(url), 4) = 1"
+        )
+        slices = [
+            pages.filter(f"pmod(xxhash64(url), 3) = {i}") for i in range(3)
+        ]
+        stm = IncrementalKGStream(embeddings, compact_every=2)
+        for i, s in enumerate(slices):
+            stm.process_batch(s, batch_id=i)
+        # parts: b0, b1 -> folded to 1, then b2 appended
+        assert len(stm.count_parts) == 2
+        batch = _batch_triples(spark, pages, embeddings)
+        got = {r["obj"]: r["n_triples"] for r in stm.entity_counts().collect()}
+        want = {r["obj"]: r["count"] for r in batch.groupBy("obj").count().collect()}
+        assert got == want
