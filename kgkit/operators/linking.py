@@ -335,8 +335,13 @@ def link_mentions(
 
 def cands_of(mentions: DataFrame, grouped: DataFrame) -> DataFrame:
     """Broadcast alias join: one output row per linkable mention with
-    its candidate array — the shared head of both rerank strategies."""
-    doc_id = F.substring_index(F.col("url"), "//", -1).cast("long")
+    its candidate array — the shared head of both rerank strategies.
+
+    doc_id keys the page-embedding lookup (embeddings.vec_id): numeric
+    for the doc://<n> corpus, NULL (try_cast — ANSI cast would abort
+    the job) for real crawl urls, where both rerank paths fall back to
+    prior-ordered linking (left joins, score coalesced to 0)."""
+    doc_id = F.substring_index(F.col("url"), "//", -1).try_cast("long")
     return (
         mentions.join(
             F.broadcast(grouped),

@@ -217,27 +217,54 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     binaryFile scan (file-per-task — see module docstring for why WARC
     is unsplittable and why that is the right parallelism for a crawl
     corpus) -> Arrow-batched python parse."""
-    import pandas as pd
-
-    def _batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            out = {k: [] for k in (
-                "path", "record_idx", "warc_type", "url", "warc_date",
-                "http_status", "mime", "payload",
-            )}
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                for i, rec in enumerate(parse_warc_bytes(bytes(content))):
-                    out["path"].append(path_)
-                    out["record_idx"].append(i)
-                    for k in ("warc_type", "url", "warc_date",
-                              "http_status", "mime", "payload"):
-                        out[k].append(rec[k])
-            yield pd.DataFrame(out)
-
     return (
         spark.read.format("binaryFile").load(path)
         .select("path", "content")
-        .mapInPandas(_batches, schema=WARC_SCHEMA)
+        .mapInPandas(_record_batches, schema=WARC_SCHEMA)
+    )
+
+
+def _record_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Arrow-batched WARC member parse, shared by the batch scan and
+    the streaming source (mapInPandas runs identically on both)."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "path", "record_idx", "warc_type", "url", "warc_date",
+            "http_status", "mime", "payload",
+        )}
+        for path_, content in zip(pdf["path"], pdf["content"]):
+            for i, rec in enumerate(parse_warc_bytes(bytes(content))):
+                out["path"].append(path_)
+                out["record_idx"].append(i)
+                for k in ("warc_type", "url", "warc_date",
+                          "http_status", "mime", "payload"):
+                    out[k].append(rec[k])
+        yield pd.DataFrame(out)
+
+
+# binaryFile's fixed source schema — streaming file sources need it
+# spelled out (no schema inference on readStream)
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Streaming twin of read_warc: crawl segments become micro-batches
+    as the crawler lands them (file source over the segment directory).
+    Each segment file appears in exactly one micro-batch — the
+    precondition the downstream incremental KG stream relies on."""
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(_record_batches, schema=WARC_SCHEMA)
     )
 
 
@@ -273,7 +300,24 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
     """The full ingestion shape: WARC records -> the (url, text) pages
     table the NER/dedup/quality pipelines consume.  Keeps 2xx HTML
     responses only; text extraction is JVM-side."""
-    recs = read_warc(spark, path)
+    return pages_of_records(read_warc(spark, path))
+
+
+def warc_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Streaming twin of warc_pages — same record parse, same JVM
+    projection, over read_warc_stream.  Feed this to
+    streaming/kg_stream.py::IncrementalKGStream.attach for live
+    crawl-to-KG construction."""
+    return pages_of_records(
+        read_warc_stream(spark, path, max_files_per_trigger)
+    )
+
+
+def pages_of_records(recs: DataFrame) -> DataFrame:
+    """records -> (url, text), batch or streaming (stateless
+    filter + projection)."""
     return (
         recs.filter(
             (F.col("warc_type") == "response")

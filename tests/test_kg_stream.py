@@ -153,6 +153,55 @@ class TestDurableResume:
             )
 
 
+class TestCrawlToKG:
+    def test_warc_stream_builds_the_same_kg_as_batch(self, spark, tmp_path):
+        """The whole crawl-to-KG path as ONE stream: WARC segments land
+        as files -> warc_pages_stream -> IncrementalKGStream; the
+        resulting store equals the batch pipeline over warc_pages."""
+        from kgkit.sources.warc import (
+            warc_pages, warc_pages_stream, write_warc,
+        )
+        from kgkit.streaming.kg_stream import IncrementalKGStream
+
+        segs = str(tmp_path / "segs")
+        import os
+
+        os.makedirs(segs)
+        bodies = [
+            "the spark hash join runs over the big table",
+            "a sort merge join beats the hash join on sorted data",
+            "spark executes the scan before the filter and the join",
+        ]
+        for s in range(3):
+            write_warc(
+                [
+                    {
+                        "url": f"http://w{s}.site.net/p{i}",
+                        "body": f"<html><body>{bodies[(s + i) % 3]}</body></html>",
+                    }
+                    for i in range(3)
+                ],
+                f"{segs}/seg{s}.warc",
+            )
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        stm = IncrementalKGStream(emb, triples_dir=str(tmp_path / "store"))
+        q = stm.attach(
+            warc_pages_stream(spark, segs, max_files_per_trigger=1),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger_once=True,
+        )
+        q.awaitTermination(300)
+        assert len(stm._counted_ids) == 3  # one micro-batch per segment
+
+        batch = _batch_triples(spark, warc_pages(spark, segs), emb)
+        assert _rows(stm.triples(spark)) == _rows(batch)
+        got = {r["obj"]: r["n_triples"] for r in stm.entity_counts().collect()}
+        want = {
+            r["obj"]: r["count"] for r in batch.groupBy("obj").count().collect()
+        }
+        assert got == want and len(want) > 0
+
+
 class TestCountsCompaction:
     def test_compaction_preserves_counts_and_folds_parts(
         self, spark, embeddings
