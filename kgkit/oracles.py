@@ -493,6 +493,62 @@ triples AS (
 )
 """
 
+
+def _relations_sql(max_gap_chars: int = 64, max_pred_words: int = 4) -> str:
+    """Stage 4b twin (kgkit/operators/relations.py::extract_relations):
+    adjacent canonical mention pairs -> gap-substring predicate surface
+    (1..max_pred_words lowercase words) -> NPMI from exact BIGINT
+    marginals.  The pair window is the cooccur window; gap text comes
+    from ner_docs (the identical union the Spark side scans).  substr
+    is 1-indexed on both engines, the integer-count products go
+    double-first on both (exact < 2^53), and round(6) absorbs ln()'s
+    last-ulp libm differences — the SAME grid discipline as _COS_SQL.
+    Change operator and oracle together or neither."""
+    return LINKED_CTE + "," + CANON_CTE + f""",
+lm AS (
+    SELECT l.*, COALESCE(c.canonical_id, l.entity_id) AS entity
+    FROM linked l LEFT JOIN canon c ON c.entity_id = l.entity_id
+),
+rpairs AS (
+    SELECT doc_id, entity AS subj,
+           lead(entity) OVER w AS obj,
+           char_end,
+           lead(char_start) OVER w AS next_start
+    FROM lm
+    WINDOW w AS (PARTITION BY url ORDER BY char_start, mention_id)
+    QUALIFY obj IS NOT NULL
+        AND next_start - char_end BETWEEN 2 AND {max_gap_chars}
+),
+rstream AS (
+    SELECT subj, obj,
+           trim(substr(d.text, CAST(p.char_end + 1 AS INT),
+                       CAST(p.next_start - p.char_end AS INT))) AS pred
+    FROM rpairs p JOIN ner_docs d ON d.doc_id = p.doc_id
+),
+rel AS (
+    SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n
+    FROM rstream
+    WHERE regexp_full_match(pred, '[a-z]+( [a-z]+){{0,{max_pred_words - 1}}}')
+    GROUP BY subj, pred, obj
+),
+marg AS (
+    SELECT subj, pred, obj, n,
+           CAST(sum(n) OVER (PARTITION BY subj, obj) AS BIGINT) AS pair_n,
+           CAST(sum(n) OVER (PARTITION BY subj) AS BIGINT) AS subj_n,
+           CAST(sum(n) OVER (PARTITION BY obj) AS BIGINT) AS obj_n,
+           CAST(sum(n) OVER () AS BIGINT) AS total_n
+    FROM rel
+)
+SELECT subj, pred, obj, n, pair_n,
+       CASE WHEN pair_n = total_n THEN 1.0
+            ELSE round(
+                ln((CAST(pair_n AS DOUBLE) * CAST(total_n AS DOUBLE))
+                   / (CAST(subj_n AS DOUBLE) * CAST(obj_n AS DOUBLE)))
+                / ln(CAST(total_n AS DOUBLE) / CAST(pair_n AS DOUBLE)), 6)
+       END AS npmi
+FROM marg
+"""
+
 # ---------------------------------------------------------------------------
 # oracle statements, keyed like kgkit.queries.QUERIES
 # ---------------------------------------------------------------------------
@@ -1188,6 +1244,9 @@ ORACLES = {
         SELECT obj, CAST(count(*) AS BIGINT) AS n_triples
         FROM triples GROUP BY obj
     """,
+    # stage 4b: entity-entity relation surfaces + NPMI (the full
+    # linked+canon lineage replayed, then the gap-substring window)
+    "kg_relations": f"WITH RECURSIVE {_relations_sql()}",
     "word_tags_bio": f"""
         WITH {WORDS_CTE}, {MARKED_CTE}
         SELECT 'doc://' || doc_id AS url,
@@ -1574,20 +1633,6 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n_copies,
                CAST(min(doc_id) AS BIGINT) AS keep_doc_id
         FROM documents GROUP BY md5(text)
-    """,
-    "q10_returned_items": """
-        SELECT c.c_custkey, c.c_name, n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n   ON c.c_nationkey = n.n_nationkey
-        WHERE l.l_returnflag = 'R'
-          AND o.o_orderdate >= TIMESTAMP '1996-10-01'
-          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
-        GROUP BY c.c_custkey, c.c_name, n.n_name
-        ORDER BY revenue DESC, c.c_custkey ASC
-        LIMIT 20
     """,
     # replay of linkgraph.with_anchor_html's string arithmetic: doc i
     # emits an absolute anchor to j1=(7i+1)%997 with text 'entity j1%40'

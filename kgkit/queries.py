@@ -177,6 +177,26 @@ def _entity_counts_q(spark, sf_dir):
     )
 
 
+def _kg_relations_q(spark, sf_dir):
+    """Stage 4b: entity-entity relation edges (operators/relations.py)
+    — the gap text between adjacent canonical mentions becomes the
+    predicate surface, with NPMI association strength computed from
+    exact BIGINT marginals of the pair stream.  The oracle replays the
+    linked+canon lineage, the pair window, the substr/regexp surface
+    rule and the marginal arithmetic on the shared round(6) grid."""
+    from kgkit.operators.relations import extract_relations
+
+    pages = _pages(spark, sf_dir)
+    linked = link_mentions(detect_mentions(pages), _embeddings(spark, sf_dir))
+    rel = extract_relations(pages, linked, canonical_map(spark))
+    return rel.select(
+        "subj", "pred", "obj",
+        F.col("n").cast("long").alias("n"),
+        F.col("pair_n").cast("long").alias("pair_n"),
+        "npmi",
+    )
+
+
 def _word_tags_q(spark, sf_dir):
     return word_tags(_pages(spark, sf_dir)).select(
         "url", F.col("pos").cast("long").alias("pos"), "word", "tag"
@@ -872,30 +892,6 @@ def _q3_q(spark, sf_dir):
     )
 
 
-def _q10_q(spark, sf_dir):
-    """TPC-H Q10-style returned-item report: top-20 customers by lost
-    revenue (join + agg + ranked limit)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    return (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
 # Registry size is capped at 50 ON PURPOSE: the driver's correctness
 # gate checks the first 50 entries, and round 3 proved entries past
 # that fall silently outside the check window.  FOLD, DON'T APPEND: a
@@ -923,6 +919,11 @@ def _q10_q(spark, sf_dir):
 #                              conditional-aggregate shapes both remain
 #                              covered — the slot funds anchor_aliases,
 #                              which the KG tier values higher)
+#   q10_returned_items      -> q1/q3 (r5; multi-join + agg + ranked
+#                              limit stays covered by q3 and the
+#                              conditional aggregate by q1 — the slot
+#                              funds kg_relations, the entity-entity
+#                              edge extraction the KG tier is FOR)
 #   events_hourly           -> user_sessions + q1 (r5; the hourly
 #                              groupBy is the least-informative member
 #                              of the relational family — the window
@@ -942,6 +943,7 @@ QUERIES = {
     "kg_canonical": _canonical_q,
     "kg_triples": _triples_q,
     "kg_entity_counts": _entity_counts_q,
+    "kg_relations": _kg_relations_q,
     # -- tag algebra / metrics: fold next into asr_corrected_bio or the
     #    scheme-conversion rows (lag-window family)
     "word_tags_bio": _word_tags_q,
@@ -996,6 +998,5 @@ QUERIES = {
     "user_sessions": _user_sessions_q,
     "q1_pricing_summary": _q1_q,
     "q3_shipping_priority": _q3_q,
-    "q10_returned_items": _q10_q,
 }
 assert len(QUERIES) <= 50, f"driver checks 50 queries, registry has {len(QUERIES)}"

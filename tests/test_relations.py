@@ -1,0 +1,217 @@
+"""Stage 4b — entity-entity relation extraction (operators/relations.py).
+
+Differential twin: a pure-python replay of the pair window, the gap
+surface rule and the NPMI arithmetic over a crafted fixture, plus the
+plan pins that make the operator scale (single stage-1 UDF execution,
+aggregated-only persist)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgkit.operators.relations import extract_relations, relation_pairs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk(spark, pages, mentions, canon=None):
+    """pages: [(url, text)]; mentions: [(url, mid, entity, cs, ce)]."""
+    pages_df = spark.createDataFrame(pages, "url string, text string")
+    linked = spark.createDataFrame(
+        [(u, m, e, cs, ce) for (u, m, e, cs, ce) in mentions],
+        "url string, mention_id long, entity_id string, "
+        "char_start long, char_end long",
+    )
+    canon_df = spark.createDataFrame(
+        canon or [("__none__", "__none__")],
+        "entity_id string, canonical_id string",
+    )
+    return pages_df, linked, canon_df
+
+
+def _python_twin(pages, mentions, canon, max_gap=64, max_words=4):
+    """The spec, independently: adjacent pairs per url by char_start,
+    gap substring, lowercase-word filter, NPMI from integer marginals."""
+    cmap = dict(canon or [])
+    text_of = dict(pages)
+    stream = []
+    by_url: dict = {}
+    for (u, m, e, cs, ce) in mentions:
+        by_url.setdefault(u, []).append((cs, m, cmap.get(e, e), ce))
+    for u, ms in by_url.items():
+        ms.sort()
+        for (a, b) in zip(ms, ms[1:]):
+            gap = b[0] - a[3]
+            if not (2 <= gap <= max_gap):
+                continue
+            pred = text_of[u][a[3]:b[0]].strip()
+            words = pred.split(" ")
+            if (
+                pred
+                and len(words) <= max_words
+                and all(w and all("a" <= c <= "z" for c in w) for w in words)
+            ):
+                stream.append((a[2], pred, b[2]))
+    rel: dict = {}
+    for t in stream:
+        rel[t] = rel.get(t, 0) + 1
+    n_tot = sum(rel.values())
+    pair: dict = {}
+    subj: dict = {}
+    obj: dict = {}
+    for (s, p, o), n in rel.items():
+        pair[(s, o)] = pair.get((s, o), 0) + n
+        subj[s] = subj.get(s, 0) + n
+        obj[o] = obj.get(o, 0) + n
+    out = {}
+    for (s, p, o), n in rel.items():
+        pn = pair[(s, o)]
+        if pn == n_tot:
+            npmi = 1.0
+        else:
+            npmi = round(
+                math.log((pn * float(n_tot)) / (subj[s] * float(obj[o])))
+                / math.log(n_tot / float(pn)),
+                6,
+            )
+        out[(s, p, o)] = (n, pn, npmi)
+    return out
+
+
+FIXTURE_PAGES = [
+    ("u://1", "spark executes the scan before anything else here today"),
+    #          0123456789012345678901234567890123456789
+    ("u://2", "spark executes the scan and spark beats flink"),
+    ("u://3", "flink follows spark"),
+    ("u://4", "spark scan"),                       # adjacent: no surface
+    ("u://5", "spark one two three four five scan"),  # 5-word gap: dropped
+]
+FIXTURE_MENTIONS = [
+    ("u://1", 0, "Q_spark", 0, 5),
+    ("u://1", 1, "Q_scan", 19, 23),
+    ("u://2", 0, "Q_spark", 0, 5),
+    ("u://2", 1, "Q_scan", 19, 23),
+    ("u://2", 2, "Q_spark2", 28, 33),   # canonicalizes to Q_spark
+    ("u://2", 3, "Q_flink", 40, 45),
+    ("u://3", 0, "Q_flink", 0, 5),
+    ("u://3", 1, "Q_spark", 14, 19),
+    ("u://4", 0, "Q_spark", 0, 5),
+    ("u://4", 1, "Q_scan", 6, 10),
+    ("u://5", 0, "Q_spark", 0, 5),
+    ("u://5", 1, "Q_scan", 30, 34),
+]
+FIXTURE_CANON = [("Q_spark2", "Q_spark")]
+
+
+class TestExtractRelations:
+    def test_matches_python_twin(self, spark):
+        pages, linked, canon = _mk(
+            spark, FIXTURE_PAGES, FIXTURE_MENTIONS, FIXTURE_CANON
+        )
+        got = {
+            (r["subj"], r["pred"], r["obj"]): (r["n"], r["pair_n"], r["npmi"])
+            for r in extract_relations(pages, linked, canon).collect()
+        }
+        want = _python_twin(FIXTURE_PAGES, FIXTURE_MENTIONS, FIXTURE_CANON)
+        assert got == want
+        # the crafted facts, explicitly:
+        assert got[("Q_spark", "executes the", "Q_scan")][0] == 2
+        assert got[("Q_flink", "follows", "Q_spark")][0] == 1
+        # canonicalization applied before pairing: Q_spark2 -> Q_spark
+        assert ("Q_spark", "beats", "Q_flink") in got
+        # adjacent (u://4) and over-long-gap (u://5) pairs yield nothing
+        assert not any(s == "Q_spark" and o == "Q_scan" and p != "executes the"
+                       for (s, p, o) in got)
+
+    def test_gap_and_word_caps(self, spark):
+        pages = [("u://1", "a x y b"), ("u://2", "a " + "w " * 3 + "b")]
+        mentions = [
+            ("u://1", 0, "QA", 0, 1), ("u://1", 1, "QB", 6, 7),
+            ("u://2", 0, "QA", 0, 1), ("u://2", 1, "QB", 8, 9),
+        ]
+        p, l, c = _mk(spark, pages, mentions)
+        got = {(r["subj"], r["pred"], r["obj"])
+               for r in extract_relations(p, l, c).collect()}
+        assert ("QA", "x y", "QB") in got
+        assert ("QA", "w w w", "QB") in got
+        # tighten the word cap: the 3-word surface drops, 2-word stays
+        got2 = {(r["subj"], r["pred"], r["obj"])
+                for r in extract_relations(p, l, c, max_pred_words=2).collect()}
+        assert ("QA", "x y", "QB") in got2 and len(got2) == 1
+
+    def test_non_surface_gaps_dropped(self, spark):
+        pages = [
+            ("u://1", "a 9x b"),        # digit in gap
+            ("u://2", "a X y b"),       # uppercase
+            ("u://3", "a x  y b"),      # double space
+        ]
+        mentions = [
+            ("u://1", 0, "QA", 0, 1), ("u://1", 1, "QB", 5, 6),
+            ("u://2", 0, "QA", 0, 1), ("u://2", 1, "QB", 6, 7),
+            ("u://3", 0, "QA", 0, 1), ("u://3", 1, "QB", 7, 8),
+        ]
+        p, l, c = _mk(spark, pages, mentions)
+        assert extract_relations(p, l, c).count() == 0
+
+    def test_npmi_perfect_pair_is_one(self, spark):
+        pages = [("u://1", "a follows b")]
+        mentions = [("u://1", 0, "QA", 0, 1), ("u://1", 1, "QB", 10, 11)]
+        p, l, c = _mk(spark, pages, mentions)
+        rows = extract_relations(p, l, c).collect()
+        assert len(rows) == 1 and rows[0]["npmi"] == 1.0
+
+    def test_pair_stream_bounds(self, spark):
+        pages, linked, canon = _mk(
+            spark, FIXTURE_PAGES, FIXTURE_MENTIONS, FIXTURE_CANON
+        )
+        pairs = relation_pairs(linked, canon).collect()
+        # u://4 (gap 1) and the u://5 pair (gap 20 <= 64) behave per the
+        # CHARACTER cap: only the adjacent pair is excluded here
+        assert all(r["next_start"] - r["char_end"] >= 2 for r in pairs)
+        assert {r["url"] for r in pairs} == {"u://1", "u://2", "u://3", "u://5"}
+
+
+class TestRelationsPlan:
+    def test_stage1_udf_runs_once_and_persist_is_aggregated(self, spark):
+        """The 4-branch marginal fan-out must read the persisted
+        AGGREGATED relation, never re-run the stage-1 Arrow UDF: the
+        executed plan carries exactly one MapInPandas and the cached
+        relation appears as InMemoryTableScan on every branch."""
+        from kgkit.operators.canonicalize import canonical_map
+        from kgkit.operators.linking import link_mentions
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+
+        pages = pages_for_mentions(load_pages(spark, SF))
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        rel = extract_relations(
+            pages, link_mentions(detect_mentions(pages), emb),
+            canonical_map(spark),
+        )
+        plan = rel._jdf.queryExecution().executedPlan().toString()
+        # rel + 4 marginal branches all scan the cache; the UDF lives
+        # only inside the cached relation (the plan STRING repeats the
+        # cached child per scan, but execution materializes it once —
+        # the same pin discipline as test_plans.py's triples test)
+        assert plan.count("InMemoryTableScan") >= 5, plan
+        assert "InMemoryRelation" in plan, plan
+        for line in plan.splitlines():
+            if "MapInPandas" in line:
+                break
+        else:
+            pytest.fail("stage-1 UDF missing from plan")
+
+    def test_query_registry_row(self, spark):
+        from kgkit.queries import QUERIES
+
+        df = QUERIES["kg_relations"](spark, SF)
+        assert [f.name for f in df.schema.fields] == [
+            "subj", "pred", "obj", "n", "pair_n", "npmi",
+        ]
+        rows = df.collect()
+        assert len(rows) > 0
+        assert all(-1.0 <= r["npmi"] <= 1.0 for r in rows)
+        assert all(r["pair_n"] >= r["n"] > 0 for r in rows)
