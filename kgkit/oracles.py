@@ -1477,17 +1477,53 @@ ORACLES = {
                round(fm, 6) AS f1_macro
         FROM pr
     """,
-    "label_set": f"""
-        WITH {WORDS_CTE}, {MARKED_CTE},
-        tags AS (
-            SELECT DISTINCT
-               CASE WHEN bi_tag IS NOT NULL THEN 'B-' || bi_tag
-                    WHEN bi_cont THEN 'I-OP'
-                    WHEN single_tag IS NOT NULL THEN 'B-' || single_tag
-                    ELSE 'O' END AS tag
-            FROM marked
+    # training-export packing (operators/packing.py): identical
+    # md5-prefix id arithmetic, per-shard running offset, window index
+    # = gpos // max_len, tail windows (< max_len tokens) dropped
+    "pack_sequences": """
+        WITH pids AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                       % 64 AS shard,
+                   list_append(
+                       list_transform(
+                           regexp_extract_all(text,
+                               '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
+                           t -> ('0x' || substr(md5(t), 1, 7))::BIGINT % 32768),
+                       CAST(32768 AS BIGINT)) AS ids
+            FROM documents
+        ),
+        offs AS (
+            SELECT doc_id, shard, ids,
+                   COALESCE(sum(len(ids)) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS doc_start
+            FROM pids
+        ),
+        ptoks AS (
+            SELECT shard, doc_id,
+                   CAST(doc_start + generate_subscripts(ids, 1) - 1 AS BIGINT)
+                       AS gpos,
+                   unnest(ids) AS id
+            FROM offs
+        ),
+        pwin AS (
+            SELECT shard, doc_id, gpos, id,
+                   CAST(gpos // 256 AS BIGINT) AS seq_id
+            FROM ptoks
+        ),
+        pchunks AS (
+            SELECT shard, seq_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   md5(string_agg(CAST(id AS VARCHAR), ';' ORDER BY gpos))
+                       AS seq_hash
+            FROM pwin
+            GROUP BY shard, seq_id
         )
-        SELECT tag FROM tags
+        SELECT shard, seq_id, n_tokens, n_docs, seq_hash
+        FROM pchunks WHERE n_tokens = 256
     """,
     "dataset_stats": f"""
         WITH {WORDS_CTE}, {MARKED_CTE},

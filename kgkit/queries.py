@@ -203,8 +203,18 @@ def _word_tags_q(spark, sf_dir):
     )
 
 
-def _label_set_q(spark, sf_dir):
-    return _word_tags_q(spark, sf_dir).select("tag").distinct()
+def _pack_sequences_q(spark, sf_dir):
+    """Training-export sequence packing (operators/packing.py):
+    BPE-ish pretokens -> hash-vocab ids + EOS, concatenated per
+    doc-hash shard in doc_id order and cut into 256-token windows
+    (tail dropped).  The oracle unrolls the identical id arithmetic
+    with a per-shard running-offset window and groups exploded tokens
+    by window index; seq_hash = md5 of the ';'-joined ids makes the
+    sequence payload hashable cross-engine."""
+    from kgkit.operators.packing import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir), max_len=256,
+                          n_shards=64)
 
 
 def _ner_eval_stream(spark, sf_dir):
@@ -919,6 +929,11 @@ def _q3_q(spark, sf_dir):
 #                              conditional-aggregate shapes both remain
 #                              covered — the slot funds anchor_aliases,
 #                              which the KG tier values higher)
+#   label_set               -> word_tags_bio (r5; it was literally a
+#                              DISTINCT projection of that query's
+#                              checked stream — zero extra information;
+#                              the slot funds pack_sequences, the
+#                              training-export terminal stage)
 #   q10_returned_items      -> q1/q3 (r5; multi-join + agg + ranked
 #                              limit stays covered by q3 and the
 #                              conditional aggregate by q1 — the slot
@@ -947,7 +962,6 @@ QUERIES = {
     # -- tag algebra / metrics: fold next into asr_corrected_bio or the
     #    scheme-conversion rows (lag-window family)
     "word_tags_bio": _word_tags_q,
-    "label_set": _label_set_q,
     "ner_token_confusion": _ner_token_confusion_q,
     "ner_entity_prf": _ner_entity_prf_q,
     "asr_corrected_bio": _asr_corrected_q,
@@ -989,8 +1003,9 @@ QUERIES = {
     "url_canonical_dedup": _url_canonical_dedup_q,
     "robots_filter": _robots_filter_q,
     "corpus_clean_accounting": _corpus_clean_accounting_q,
-    # -- sampling / mixing
+    # -- sampling / mixing / training export
     "sample_mixture": _sample_mixture_q,
+    "pack_sequences": _pack_sequences_q,
     # -- scheme conversions
     "tags_bilou": _tags_bilou_q,
     "iob1_roundtrip": _iob1_roundtrip_q,
