@@ -1638,26 +1638,64 @@ ORACLES = {
     """,
     # per-host crawl hygiene over the deterministic Zipf-host fixture
     # (text_quality.with_synth_hosts arithmetic replayed in SQL)
-    "host_stats": """
-        WITH pages AS (
-            SELECT 'https://' ||
+    # per-host boilerplate line removal (operators/boilerplate.py):
+    # rebuild the identical template fixture (banner + 6-word re-flow
+    # + every-3rd-doc footer over the Zipf hosts), count distinct docs
+    # per (host, line digest), strip >= 5-doc lines, witness the
+    # reassembled text by md5 — change operator and oracle together
+    "boilerplate_lines": """
+        WITH bdocs AS (
+            SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'mega.example.org'
-                        ELSE 'h' || (doc_id % 19) || '.example.net' END ||
-                   '/page/' || doc_id AS url,
-                   text
+                        ELSE 'h' || CAST(doc_id % 19 AS VARCHAR)
+                             || '.example.net' END AS host,
+                   string_split(text, ' ') AS w
             FROM documents
         ),
-        h AS (
-            SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, text
-            FROM pages
+        btext AS (
+            SELECT doc_id, host,
+                   'site ' || host || ' navigation menu' || chr(10)
+                   || array_to_string(
+                          list_transform(
+                              range(0, CAST(ceil(len(w) / 6.0) AS INT)),
+                              i -> array_to_string(w[i*6+1 : i*6+6], ' ')),
+                          chr(10))
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || 'copyright ' || host
+                           ELSE '' END AS text
+            FROM bdocs
+        ),
+        blines AS (
+            SELECT doc_id, host,
+                   unnest(string_split(text, chr(10))) AS line,
+                   CAST(generate_subscripts(string_split(text, chr(10)), 1)
+                        AS BIGINT) AS pos
+            FROM btext
+        ),
+        bboiler AS (
+            SELECT host, lh FROM (
+                SELECT host, lh, count(*) AS n_docs FROM (
+                    SELECT DISTINCT host, md5(line) AS lh, doc_id
+                    FROM blines
+                ) GROUP BY host, lh
+            ) WHERE n_docs >= 5
+        ),
+        bflag AS (
+            SELECT l.doc_id, l.host, l.pos, l.line,
+                   (b.lh IS NOT NULL) AS is_b
+            FROM blines l LEFT JOIN bboiler b
+              ON b.host = l.host AND b.lh = md5(l.line)
         )
-        SELECT host,
-               CAST(count(*) AS BIGINT) AS n_pages,
-               CAST(sum(length(text)) AS BIGINT) AS total_chars,
-               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
-               round(1 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6)
-                   AS dup_ratio
-        FROM h GROUP BY host
+        SELECT doc_id, host,
+               CAST(sum(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               md5(COALESCE(string_agg(CASE WHEN NOT is_b THEN line END,
+                                       chr(10) ORDER BY pos), ''))
+                   AS clean_hash
+        FROM bflag
+        GROUP BY doc_id, host
     """,
     # NFC canonicalization: DuckDB nfc_normalize vs the python
     # unicodedata UDF — both implement Unicode canonical composition;

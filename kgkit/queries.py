@@ -385,6 +385,26 @@ def _host_stats_q(spark, sf_dir):
     )
 
 
+def _boilerplate_q(spark, sf_dir):
+    """Per-host boilerplate line removal (operators/boilerplate.py —
+    the RefinedWeb/CCNet line-dedup stage) over the deterministic
+    multi-line template fixture: per-host banner + re-flowed body +
+    every-3rd-doc footer on the Zipf host distribution.  The oracle
+    rebuilds the identical strings and replays the distinct-doc line
+    frequency and removal; clean_hash witnesses the reassembled text."""
+    from kgkit.operators.boilerplate import (
+        remove_boilerplate_lines, with_template_lines,
+    )
+
+    docs = with_template_lines(
+        _documents(spark, sf_dir).select("doc_id", "text")
+    )
+    return remove_boilerplate_lines(docs, min_docs=5).select(
+        "doc_id", "host", "n_kept", "n_removed",
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
 def _unicode_nfc_q(spark, sf_dir):
     """Unicode NFC canonicalization over a planted-NFD corpus (the
     pre-dedup normalization step; kgkit.operators.text_quality
@@ -929,6 +949,12 @@ def _q3_q(spark, sf_dir):
 #                              conditional-aggregate shapes both remain
 #                              covered — the slot funds anchor_aliases,
 #                              which the KG tier values higher)
+#   host_stats              -> boilerplate_lines (r5; same host-level
+#                              crawl-hygiene family and the same COUNT
+#                              DISTINCT split discipline, but the
+#                              survivor also performs the removal
+#                              transform; host_stats op + tests remain
+#                              in text_quality.py)
 #   label_set               -> word_tags_bio (r5; it was literally a
 #                              DISTINCT projection of that query's
 #                              checked stream — zero extra information;
@@ -976,7 +1002,7 @@ QUERIES = {
     "repetition_ngrams": _repetition_ngrams_q,
     "pii_scrub": _pii_scrub_q,
     "unicode_nfc": _unicode_nfc_q,
-    "host_stats": _host_stats_q,
+    "boilerplate_lines": _boilerplate_q,
     "lm_ppl_buckets": _lm_ppl_buckets_q,
     "quality_trained": _quality_trained_q,
     # -- dedup family: exact / whole-doc-near / substring; fold next
