@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` runs the flagship query (the full four-stage KG
+``entry(spark)`` runs the flagship query (the full KG
 pipeline: pages -> mentions -> linking -> canonicalization -> triples)
 on sf0.001.  ``queries()``/``oracle_sql()`` expose every implemented
 operator from SURVEY.md §2 with its DuckDB oracle; the authoritative

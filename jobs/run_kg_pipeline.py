@@ -1,4 +1,5 @@
-"""spark-submit entry point for the 4-stage KG construction pipeline.
+"""spark-submit entry point for the KG construction pipeline
+(stages 1-4 plus 4b relation extraction).
 
 Usage (north rule: multi-executor via --py-files; local example):
 
@@ -49,6 +50,7 @@ def main() -> None:
         "metric": "kg_pipeline_run",
         "out": args.out,
         "n_triples": n_triples,
+        "n_relations": result["relations"].count(),
         "executed": runner.executed,
         "skipped": runner.skipped,
         "wall_sec": round(time.monotonic() - t0, 2),

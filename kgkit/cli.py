@@ -154,7 +154,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shuffle-partitions", type=int, default=32)
     p.set_defaults(fn=cmd_predict_file)
 
-    p = sub.add_parser("run-pipeline", help="4-stage KG pipeline with resume")
+    p = sub.add_parser("run-pipeline", help="KG pipeline (stages 1-4b) with resume")
     p.add_argument("--pages", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--buckets", type=int, default=64)

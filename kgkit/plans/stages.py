@@ -73,13 +73,15 @@ def run_kg_pipeline(
     run_dir: str,
     n_buckets: int = 64,
 ) -> Dict[str, DataFrame]:
-    """The four-stage KG pipeline (SURVEY §3.4), checkpoint-resumable.
+    """The KG pipeline (SURVEY §3.4), checkpoint-resumable.
 
     pages -> mentions -> linked -> (canonical map) -> triples
+                                                   -> relations (4b)
     """
     from kgkit.operators.canonicalize import canonical_map
     from kgkit.operators.linking import link_mentions
     from kgkit.operators.mentions import detect_mentions
+    from kgkit.operators.relations import extract_relations
     from kgkit.operators.triples import assemble_triples
     from kgkit.sources.pages import load_pages, pages_for_mentions
 
@@ -93,10 +95,14 @@ def run_kg_pipeline(
     triples = runner.run(
         "stage4_triples", lambda: assemble_triples(linked, canon, n_buckets)
     )
+    relations = runner.run(
+        "stage4b_relations", lambda: extract_relations(pages, linked, canon)
+    )
     return {
         "mentions": mentions,
         "linked": linked,
         "canonical": canon,
         "triples": triples,
+        "relations": relations,
         "runner": runner,
     }

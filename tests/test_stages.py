@@ -24,7 +24,7 @@ class TestStageRunner:
         result = run_kg_pipeline(spark, self.SF, run_dir)
         assert result["runner"].executed == [
             "stage1_mentions", "stage2_linked", "stage3_canonical",
-            "stage4_triples",
+            "stage4_triples", "stage4b_relations",
         ]
         assert result["runner"].skipped == []
         assert result["triples"].count() > 0
@@ -38,7 +38,7 @@ class TestStageRunner:
         assert again["runner"].executed == []
         assert set(again["runner"].skipped) == {
             "stage1_mentions", "stage2_linked", "stage3_canonical",
-            "stage4_triples",
+            "stage4_triples", "stage4b_relations",
         }
         assert again["triples"].count() == n_first
 
@@ -60,7 +60,7 @@ class TestStageRunner:
         stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
         assert stages == {
             "stage1_mentions", "stage2_linked", "stage3_canonical",
-            "stage4_triples",
+            "stage4_triples", "stage4b_relations",
         }
         row = lineage.agg(
             F.sum("rows").alias("rows"), F.min("wall_ms").alias("w")
