@@ -88,6 +88,37 @@ def relation_pairs(
     )
 
 
+def relation_stream(
+    pages: DataFrame,
+    linked: DataFrame,
+    canon: DataFrame,
+    max_gap_chars: int = 64,
+    max_pred_words: int = 4,
+) -> DataFrame:
+    """One (subj, pred, obj) row per relation OCCURRENCE — entirely
+    per-page (window within the page, gap substring from the page's
+    own text, static canonical map), which is what lets the
+    incremental KG stream contribute per-batch partial counts whose
+    sum equals the batch aggregation exactly."""
+    pairs = relation_pairs(linked, canon, max_gap_chars)
+    pred = F.trim(
+        F.substring(
+            F.col("text"),
+            F.col("char_end") + F.lit(1),
+            F.col("next_start") - F.col("char_end"),
+        )
+    )
+    # 1..max_pred_words lowercase single-spaced words — anything else
+    # (punctuation, digits, non-ASCII, runs of space) is not a surface
+    pat = r"^[a-z]+( [a-z]+){0,%d}$" % (max_pred_words - 1)
+    return (
+        pairs.join(pages.select("url", "text"), "url")
+        .withColumn("pred", pred)
+        .filter(F.col("pred").rlike(pat))
+        .select("subj", "pred", "obj")
+    )
+
+
 def extract_relations(
     pages: DataFrame,
     linked: DataFrame,
@@ -106,28 +137,21 @@ def extract_relations(
                       the pair is the whole stream), rounded to the
                       6-decimal cross-engine grid
     """
-    pairs = relation_pairs(linked, canon, max_gap_chars)
-    pred = F.trim(
-        F.substring(
-            F.col("text"),
-            F.col("char_end") + F.lit(1),
-            F.col("next_start") - F.col("char_end"),
-        )
+    stream = relation_stream(
+        pages, linked, canon, max_gap_chars, max_pred_words
     )
-    # 1..max_pred_words lowercase single-spaced words — anything else
-    # (punctuation, digits, non-ASCII, runs of space) is not a surface
-    pat = r"^[a-z]+( [a-z]+){0,%d}$" % (max_pred_words - 1)
-    stream = (
-        pairs.join(pages.select("url", "text"), "url")
-        .withColumn("pred", pred)
-        .filter(F.col("pred").rlike(pat))
-        .select("subj", "pred", "obj")
-    )
-    rel = (
-        stream.groupBy("subj", "pred", "obj")
-        .agg(F.count("*").alias("n"))
-        .persist()  # aggregated relation; guards the 4-branch fan-out
-    )
+    rel = stream.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n"))
+    return relations_from_counts(rel)
+
+
+def relations_from_counts(rel: DataFrame) -> DataFrame:
+    """(subj, pred, obj, n) counts -> NPMI-annotated relation edges.
+
+    Pure integer-marginal arithmetic, so it serves both the batch path
+    and the streaming path's merged partial counts (sums commute —
+    merge-then-annotate equals aggregate-then-annotate row-for-row).
+    """
+    rel = rel.persist()  # aggregated relation; guards the 4-branch fan-out
     subj_n = rel.groupBy("subj").agg(F.sum("n").alias("subj_n"))
     obj_n = rel.groupBy("obj").agg(F.sum("n").alias("obj_n"))
     pair_n = rel.groupBy("subj", "obj").agg(F.sum("n").alias("pair_n"))

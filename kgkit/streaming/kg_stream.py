@@ -14,9 +14,12 @@ themselves: foreachBatch runs the UNCHANGED batch operators on each
 micro-batch and the union of per-batch outputs equals the one-shot
 batch result row-for-row (pinned by tests/test_kg_stream.py).
 
-What DOES need cross-batch state is the downstream aggregate a live KG
-keeps hot: entity mention counts (the batch ``kg_entity_counts``
-query).  Re-aggregating the whole triples store per trigger is O(store)
+What DOES need cross-batch state is the downstream aggregates a live
+KG keeps hot: entity mention counts (the batch ``kg_entity_counts``
+query) and relation-edge counts (the batch ``kg_relations`` query —
+its (subj, pred, obj) occurrence stream is per-page too, so per-batch
+partial counts merge exactly, and the NPMI annotation is deferred to
+read time as a pure function of the merged integers).  Re-aggregating the whole triples store per trigger is O(store)
 — at crawl scale that melts.  Instead each batch contributes a PARTIAL
 aggregate part (``groupBy(obj).count()`` over the batch's triples —
 bounded by the batch, map-side combined), and ``entity_counts()``
@@ -60,18 +63,19 @@ from pyspark.sql import functions as F
 from kgkit.operators.canonicalize import canonical_map
 from kgkit.operators.linking import link_mentions
 from kgkit.operators.mentions import detect_mentions
+from kgkit.operators.relations import relation_stream, relations_from_counts
 from kgkit.operators.triples import assemble_triples
 from kgkit.streaming.dedup_stream import _complete, _union_all
 
 
-def _part_dirs(triples_dir: str) -> List[str]:
-    """Complete ``batch=<id>`` part dirs, sorted by batch id."""
+def _part_dirs(triples_dir: str, prefix: str = "batch=") -> List[str]:
+    """Complete ``<prefix><id>`` part dirs, sorted by batch id."""
     if not os.path.isdir(triples_dir):
         return []
     names = [
         d
         for d in os.listdir(triples_dir)
-        if d.startswith("batch=") and _complete(os.path.join(triples_dir, d))
+        if d.startswith(prefix) and _complete(os.path.join(triples_dir, d))
     ]
     return sorted(names, key=lambda n: int(n.split("=")[1]))
 
@@ -93,6 +97,7 @@ class IncrementalKGStream:
         self.compact_every = compact_every
         self.model = model
         self.count_parts: List[DataFrame] = []
+        self.rel_parts: List[DataFrame] = []  # (subj,pred,obj,n) partials
         self._parts_since_compact = 0
         self._counted_ids: set = set()  # replay guard for counts parts
         self._spill: List[DataFrame] = []  # previous batch's scratch frames
@@ -116,6 +121,19 @@ class IncrementalKGStream:
         stm.count_parts = [
             stored.groupBy("obj").agg(F.count("*").alias("n")).localCheckpoint()
         ]
+        rel_names = [
+            n for n in _part_dirs(triples_dir, prefix="relbatch=")
+            if int(n.split("=")[1]) in {int(m.split("=")[1]) for m in names}
+        ]
+        if rel_names:
+            stm.rel_parts = [
+                spark.read.parquet(
+                    *[os.path.join(triples_dir, n) for n in rel_names]
+                )
+                .groupBy("subj", "pred", "obj")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .localCheckpoint()
+            ]
         stm._counted_ids = {int(n.split("=")[1]) for n in names}
         return stm
 
@@ -150,20 +168,36 @@ class IncrementalKGStream:
             linked, self._canon(pages.sparkSession), persist=False
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
+        # relation partial counts: relation_stream is per-page (the
+        # same property that makes the triples stateless), so each
+        # batch's groupBy(subj, pred, obj).count() is a commutative
+        # partial whose merged sum equals the batch aggregation; the
+        # NPMI annotation is deferred to read time (relations()) —
+        # it is a pure function of the merged integers
+        rel_part = (
+            relation_stream(pages, linked, self._canon(pages.sparkSession))
+            .groupBy("subj", "pred", "obj")
+            .agg(F.count("*").alias("n"))
+        )
+
         if self.triples_dir is not None and batch_id is not None:
             # overwrite mode: a foreachBatch replay of the same batch_id
             # rewrites the same dir with the same rows — idempotent
             triples.write.mode("overwrite").parquet(
                 os.path.join(self.triples_dir, f"batch={batch_id}")
             )
+            rel_part.write.mode("overwrite").parquet(
+                os.path.join(self.triples_dir, f"relbatch={batch_id}")
+            )
         if batch_id is None or batch_id not in self._counted_ids:
-            # partial aggregate part: bounded by the batch, map-side
-            # combined, eagerly materialized so it outlives the spill
+            # partial aggregate parts: bounded by the batch, map-side
+            # combined, eagerly materialized so they outlive the spill
             self.count_parts.append(
                 triples.groupBy("obj")
                 .agg(F.count("*").alias("n"))
                 .localCheckpoint()
             )
+            self.rel_parts.append(rel_part.localCheckpoint())
             if batch_id is not None:
                 self._counted_ids.add(batch_id)
             self._parts_since_compact += 1
@@ -173,18 +207,31 @@ class IncrementalKGStream:
         return triples
 
     def _compact(self) -> None:
-        """Fold the partial-count parts into one frame.  localCheckpoint
-        is eager: the folded frame is materialized before any old part
-        is released, and the union lineage is truncated."""
+        """Fold the partial-count parts into one frame each.
+        localCheckpoint is eager: the folded frame is materialized
+        before any old part is released, and the union lineage is
+        truncated."""
         folded = (
             _union_all(self.count_parts)
             .groupBy("obj")
             .agg(F.sum("n").alias("n"))
             .localCheckpoint()
         )
-        for p in self.count_parts:
+        # rel_parts can lag count_parts when resuming a pre-relations
+        # store (no relbatch= dirs) — fold only what exists
+        rel_folded = (
+            [
+                _union_all(self.rel_parts)
+                .groupBy("subj", "pred", "obj")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .localCheckpoint()
+            ]
+            if self.rel_parts else []
+        )
+        for p in self.count_parts + self.rel_parts:
             p.unpersist()
         self.count_parts = [folded]
+        self.rel_parts = rel_folded
         self._parts_since_compact = 0
 
     def entity_counts(self) -> DataFrame:
@@ -200,6 +247,25 @@ class IncrementalKGStream:
             .groupBy("obj")
             .agg(F.sum("n").cast("long").alias("n_triples"))
         )
+
+    def relations(self) -> DataFrame:
+        """Live NPMI-annotated relation edges over everything processed
+        so far — the merged (subj, pred, obj) partial counts fed to the
+        batch annotator (relations_from_counts); integer sums commute,
+        so this equals extract_relations over the whole corpus
+        row-for-row."""
+        if not self.rel_parts:
+            return self.embeddings.sparkSession.createDataFrame(
+                [],
+                "subj string, pred string, obj string, n long, "
+                "pair_n long, npmi double",
+            )
+        merged = (
+            _union_all(self.rel_parts)
+            .groupBy("subj", "pred", "obj")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        return relations_from_counts(merged)
 
     def triples(self, spark: SparkSession) -> DataFrame:
         """The durable triples store (complete parts only)."""

@@ -49,6 +49,19 @@ def _rows(df):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def _batch_relations(spark, pages, embeddings):
+    from kgkit.operators.canonicalize import canonical_map
+    from kgkit.operators.linking import link_mentions
+    from kgkit.operators.mentions import detect_mentions
+    from kgkit.operators.relations import extract_relations
+
+    return extract_relations(
+        pages,
+        link_mentions(detect_mentions(pages), embeddings),
+        canonical_map(spark),
+    )
+
+
 class TestStreamEqualsBatch:
     def test_triples_and_counts_match_batch(
         self, spark, landing_dir, embeddings, tmp_path
@@ -78,6 +91,16 @@ class TestStreamEqualsBatch:
         got = _rows(stm.triples(spark))
         want = _rows(batch)
         assert len(want) > 0 and got == want
+
+        # relations: merged per-batch partial counts + read-time NPMI
+        # must equal the one-shot batch extraction row-for-row (sums
+        # commute; NPMI is a pure function of the merged integers)
+        got_rel = _rows(stm.relations())
+        want_rel = _rows(
+            _batch_relations(spark, spark.read.parquet(landing_dir),
+                             embeddings)
+        )
+        assert len(want_rel) > 0 and got_rel == want_rel
 
         from pyspark.sql import functions as F
 
@@ -143,6 +166,11 @@ class TestDurableResume:
         got = {r["obj"]: r["n_triples"] for r in stm2.entity_counts().collect()}
         want = {r["obj"]: r["count"] for r in batch.groupBy("obj").count().collect()}
         assert got == want
+        # relations resume too: durable relbatch parts carry batches
+        # 0-1, the post-resume batch 2 contributes in memory
+        assert _rows(stm2.relations()) == _rows(
+            _batch_relations(spark, pages, embeddings)
+        )
 
     def test_resume_empty_store_raises(self, spark, embeddings, tmp_path):
         from kgkit.streaming.kg_stream import IncrementalKGStream
