@@ -49,8 +49,45 @@ Scale design (the plan IS the product at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Verb-pattern relation typing — a deterministic classification of the
+# predicate surface into coarse edge types, shared VERBATIM with
+# oracles._relations_sql (change both or neither).  Closed word classes
+# first (copula / possession), then a morphological verb pattern
+# (-s / -ed / -ing with a >= 3-letter stem), else the untyped fallback:
+#
+#   isa       copula + determiner         "is a", "was the"
+#   attr      copula, no determiner       "is fast"
+#   has_part  possession                  "has a"
+#   action    first word looks inflected  "powers the", "derived from"
+#   assoc     anything else               "and the", "big"
+#
+# The driver corpus's closed vocabulary contains no copula/possession/
+# inflected forms (only 'a'/'the' from these sets — verified over
+# sf0.1), so typed classes are exercised by the relation-planted pages
+# (kgkit/sources/planted.py::RELATION_TEXTS) on both engine sides.
+COPULA_WORDS = ("is", "are", "was", "were", "be", "been")
+DETERMINERS = ("a", "an", "the")
+POSSESSION_WORDS = ("has", "have", "had")
+ACTION_PATTERN = r"^[a-z]{3,}(s|ed|ing)$"
+
+
+def rel_type_col(pred: Column) -> Column:
+    """Edge type of a predicate surface (typing rule above)."""
+    first = F.split_part(pred, F.lit(" "), F.lit(1))
+    second = F.split_part(pred, F.lit(" "), F.lit(2))  # '' for 1-word
+    return (
+        F.when(
+            first.isin(*COPULA_WORDS),
+            F.when(second.isin(*DETERMINERS), F.lit("isa"))
+            .otherwise(F.lit("attr")),
+        )
+        .when(first.isin(*POSSESSION_WORDS), F.lit("has_part"))
+        .when(first.rlike(ACTION_PATTERN), F.lit("action"))
+        .otherwise(F.lit("assoc"))
+    )
 
 
 def relation_pairs(
@@ -130,12 +167,13 @@ def extract_relations(
     """Relation edges with NPMI association strength.
 
     Returns one row per distinct (subj, pred, obj):
-      n       BIGINT  occurrences of this exact edge
-      pair_n  BIGINT  occurrences of the (subj, obj) pair under ANY
-                      predicate surface
-      npmi    DOUBLE  normalized PMI of the pair in [-1, 1] (1.0 when
-                      the pair is the whole stream), rounded to the
-                      6-decimal cross-engine grid
+      rel_type STRING  verb-pattern edge type (rel_type_col rule)
+      n        BIGINT  occurrences of this exact edge
+      pair_n   BIGINT  occurrences of the (subj, obj) pair under ANY
+                       predicate surface
+      npmi     DOUBLE  normalized PMI of the pair in [-1, 1] (1.0 when
+                       the pair is the whole stream), rounded to the
+                       6-decimal cross-engine grid
     """
     stream = relation_stream(
         pages, linked, canon, max_gap_chars, max_pred_words
@@ -175,5 +213,6 @@ def relations_from_counts(rel: DataFrame) -> DataFrame:
         .join(F.broadcast(obj_n), "obj")
         .crossJoin(F.broadcast(total))
         .withColumn("npmi", npmi)
-        .select("subj", "pred", "obj", "n", "pair_n", "npmi")
+        .withColumn("rel_type", rel_type_col(F.col("pred")))
+        .select("subj", "pred", "obj", "rel_type", "n", "pair_n", "npmi")
     )

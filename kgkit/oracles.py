@@ -67,11 +67,17 @@ def _chunks_sql(src: str) -> str:
 # -length stays the exact mirror.
 from kgkit.sources.planted import planted_values_sql as _planted_values_sql
 
-WORDS_CTE = f"""
+
+def words_cte(extra_docs: str = "") -> str:
+    """The ner_docs/words/pw chain; ``extra_docs`` appends additional
+    'UNION ALL SELECT ...' document sources to ner_docs (used by the
+    kg_relations oracle for the relation-planted verb pages — the
+    Spark query unions the same rows from the same list)."""
+    return f"""
 ner_docs AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT * FROM {_planted_values_sql()} pn(doc_id, text)
+    SELECT * FROM {_planted_values_sql()} pn(doc_id, text){extra_docs}
 ),
 words AS (
     SELECT doc_id,
@@ -90,6 +96,9 @@ pw AS (
     FROM words
 )
 """
+
+
+WORDS_CTE = words_cte()
 
 # gazetteer marks: bigram starts / continuations / single-word matches
 MARKED_CTE = """
@@ -131,8 +140,13 @@ st AS (
 )
 """
 
-MENTIONS_CTE = (
-    WORDS_CTE + "," + MARKED_CTE + """,
+def mentions_cte(extra_docs: str = "") -> str:
+    return (
+        words_cte(extra_docs) + "," + MARKED_CTE + _MENTIONS_TAIL
+    )
+
+
+_MENTIONS_TAIL = """,
 raw_mentions AS (
     SELECT doc_id, char_start,
            char_start + len(word) + 1 + len(next_word) AS char_end,
@@ -157,7 +171,8 @@ mentions AS (
     FROM raw_mentions
 )
 """
-)
+
+MENTIONS_CTE = mentions_cte()
 
 # ---------------------------------------------------------------------------
 # TRAINED head (kgkit/ner_core/trained.py): the forward pass itself,
@@ -412,7 +427,11 @@ def _trained_proba_sql() -> str:
 
 
 # linking: broadcast-dictionary join + cosine rerank (double precision)
-LINKED_CTE = MENTIONS_CTE + f""",
+def linked_cte(extra_docs: str = "") -> str:
+    return mentions_cte(extra_docs) + _LINKED_TAIL
+
+
+_LINKED_TAIL = f""",
 alias_dict AS (SELECT * FROM {alias_values_sql()}),
 cands AS (
     SELECT m.*, a.entity_id, a.entity_num, a.prior
@@ -441,6 +460,8 @@ linked AS (
     ) WHERE rnk = 1
 )
 """
+
+LINKED_CTE = linked_cte()
 
 # canonicalization: transitive closure over synonym edges, min numeric id
 CANON_CTE = f"""
@@ -497,14 +518,38 @@ triples AS (
 def _relations_sql(max_gap_chars: int = 64, max_pred_words: int = 4) -> str:
     """Stage 4b twin (kgkit/operators/relations.py::extract_relations):
     adjacent canonical mention pairs -> gap-substring predicate surface
-    (1..max_pred_words lowercase words) -> NPMI from exact BIGINT
-    marginals.  The pair window is the cooccur window; gap text comes
-    from ner_docs (the identical union the Spark side scans).  substr
-    is 1-indexed on both engines, the integer-count products go
-    double-first on both (exact < 2^53), and round(6) absorbs ln()'s
-    last-ulp libm differences — the SAME grid discipline as _COS_SQL.
-    Change operator and oracle together or neither."""
-    return LINKED_CTE + "," + CANON_CTE + f""",
+    (1..max_pred_words lowercase words) -> verb-pattern rel_type ->
+    NPMI from exact BIGINT marginals.  The pair window is the cooccur
+    window; gap text comes from ner_docs WIDENED with the
+    relation-planted verb pages (planted.relation_values_sql — the
+    identical union the Spark query scans; the typing rule's closed
+    word classes have no driver-corpus members).  substr is 1-indexed
+    on both engines, the integer-count products go double-first on both
+    (exact < 2^53), and round(6) absorbs ln()'s last-ulp libm
+    differences — the SAME grid discipline as _COS_SQL.  The typing
+    CASE mirrors relations.rel_type_col verbatim.  Change operator and
+    oracle together or neither."""
+    from kgkit.operators.relations import (
+        ACTION_PATTERN, COPULA_WORDS, DETERMINERS, POSSESSION_WORDS,
+    )
+    from kgkit.sources.planted import relation_values_sql
+
+    extra = (
+        "\n    UNION ALL\n"
+        f"    SELECT * FROM {relation_values_sql()} rp(doc_id, text)"
+    )
+    in_list = lambda ws: ", ".join(f"'{w}'" for w in ws)  # noqa: E731
+    rel_type = f"""CASE
+        WHEN split_part(pred, ' ', 1) IN ({in_list(COPULA_WORDS)})
+        THEN CASE WHEN split_part(pred, ' ', 2) IN ({in_list(DETERMINERS)})
+                  THEN 'isa' ELSE 'attr' END
+        WHEN split_part(pred, ' ', 1) IN ({in_list(POSSESSION_WORDS)})
+        THEN 'has_part'
+        WHEN regexp_full_match(split_part(pred, ' ', 1),
+                               '{ACTION_PATTERN.strip('^$')}')
+        THEN 'action'
+        ELSE 'assoc' END"""
+    return linked_cte(extra) + "," + CANON_CTE + f""",
 lm AS (
     SELECT l.*, COALESCE(c.canonical_id, l.entity_id) AS entity
     FROM linked l LEFT JOIN canon c ON c.entity_id = l.entity_id
@@ -539,7 +584,9 @@ marg AS (
            CAST(sum(n) OVER () AS BIGINT) AS total_n
     FROM rel
 )
-SELECT subj, pred, obj, n, pair_n,
+SELECT subj, pred, obj,
+       {rel_type} AS rel_type,
+       n, pair_n,
        CASE WHEN pair_n = total_n THEN 1.0
             ELSE round(
                 ln((CAST(pair_n AS DOUBLE) * CAST(total_n AS DOUBLE))

@@ -180,17 +180,23 @@ def _entity_counts_q(spark, sf_dir):
 def _kg_relations_q(spark, sf_dir):
     """Stage 4b: entity-entity relation edges (operators/relations.py)
     — the gap text between adjacent canonical mentions becomes the
-    predicate surface, with NPMI association strength computed from
-    exact BIGINT marginals of the pair stream.  The oracle replays the
-    linked+canon lineage, the pair window, the substr/regexp surface
-    rule and the marginal arithmetic on the shared round(6) grid."""
+    predicate surface, typed by the verb-pattern rule (rel_type_col)
+    and weighted with NPMI association strength from exact BIGINT
+    marginals of the pair stream.  The corpus is widened with the
+    relation-planted verb pages (planted.RELATION_TEXTS — the driver
+    vocabulary carries no copula/possession/inflected forms, so the
+    typed classes need positives) on BOTH engine sides.  The oracle
+    replays the linked+canon lineage, the pair window, the
+    substr/regexp surface rule, the typing CASE and the marginal
+    arithmetic on the shared round(6) grid."""
     from kgkit.operators.relations import extract_relations
+    from kgkit.sources.planted import relation_planted_pages
 
-    pages = _pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir).unionByName(relation_planted_pages(spark))
     linked = link_mentions(detect_mentions(pages), _embeddings(spark, sf_dir))
     rel = extract_relations(pages, linked, canonical_map(spark))
     return rel.select(
-        "subj", "pred", "obj",
+        "subj", "pred", "obj", "rel_type",
         F.col("n").cast("long").alias("n"),
         F.col("pair_n").cast("long").alias("pair_n"),
         "npmi",

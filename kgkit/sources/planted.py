@@ -78,3 +78,58 @@ def planted_values_sql() -> str:
         f"({doc_id}, '{text}')" for doc_id, text in planted_ner_docs()
     )
     return f"(VALUES {rows})"
+
+
+# ---------------------------------------------------------------------------
+# Relation-typing pages — planted ONLY into the kg_relations query
+# ---------------------------------------------------------------------------
+# The driver corpus is a closed synthetic vocabulary with no copulas,
+# possession verbs, or -s/-ed/-ing forms (verified over sf0.1: the only
+# rule-set words present are 'a'/'the'), so every driver-corpus
+# predicate surface types as the 'assoc' fallback.  These pages put one
+# positive of each typed class (isa / attr / has_part / action) between
+# gazetteer entities, and BOTH the Spark query (kgkit.queries
+# ._kg_relations_q) and its DuckDB oracle (kgkit.oracles._relations_sql)
+# union them from this single list.  They are NOT in the global NER
+# corpus (PLANTED_NER_TEXTS), so every other full-corpus oracle is
+# byte-identical to before.  Same invariant: single-spaced, strictly
+# [a-z ] (inlined into SQL VALUES literals).
+RELATION_DOC_ID_BASE = 300_000
+
+RELATION_TEXTS: List[str] = [
+    "spark is a stream",              # isa       (copula + determiner)
+    "customer is the spark",          # isa       ('the' determiner)
+    "vector was fast merge",          # attr      (copula, no determiner)
+    "customer has a vector",          # has_part
+    "spark powers the stream",        # action    (-s verb form)
+    "join derived from merge",        # action    (-ed verb form)
+    "spark uses hash join",           # action    (bigram entity object)
+    "customer and the spark",         # assoc     (control: fallback)
+    "spark is a stream",              # duplicate: n > 1 for the isa edge
+]
+
+
+def relation_planted_docs() -> List[Tuple[int, str]]:
+    return [
+        (RELATION_DOC_ID_BASE + i, t) for i, t in enumerate(RELATION_TEXTS)
+    ]
+
+
+def relation_planted_pages(spark: SparkSession) -> DataFrame:
+    """The relation-typing pages in the (url, text, lang) shape."""
+    df = spark.createDataFrame(
+        relation_planted_docs(), "doc_id long, text string"
+    )
+    return df.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+        F.lit("und").alias("lang"),
+    )
+
+
+def relation_values_sql() -> str:
+    """DuckDB VALUES literal of the same (doc_id, text) rows."""
+    rows = ", ".join(
+        f"({doc_id}, '{text}')" for doc_id, text in relation_planted_docs()
+    )
+    return f"(VALUES {rows})"

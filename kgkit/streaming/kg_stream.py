@@ -257,8 +257,8 @@ class IncrementalKGStream:
         if not self.rel_parts:
             return self.embeddings.sparkSession.createDataFrame(
                 [],
-                "subj string, pred string, obj string, n long, "
-                "pair_n long, npmi double",
+                "subj string, pred string, obj string, rel_type string, "
+                "n long, pair_n long, npmi double",
             )
         merged = (
             _union_all(self.rel_parts)

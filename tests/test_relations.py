@@ -209,9 +209,84 @@ class TestRelationsPlan:
 
         df = QUERIES["kg_relations"](spark, SF)
         assert [f.name for f in df.schema.fields] == [
-            "subj", "pred", "obj", "n", "pair_n", "npmi",
+            "subj", "pred", "obj", "rel_type", "n", "pair_n", "npmi",
         ]
         rows = df.collect()
         assert len(rows) > 0
         assert all(-1.0 <= r["npmi"] <= 1.0 for r in rows)
         assert all(r["pair_n"] >= r["n"] > 0 for r in rows)
+        # the relation-planted verb pages give every typed class at
+        # least one positive; the driver corpus itself carries none of
+        # the rule's closed-class words, so its edges all type 'assoc'
+        by_type: dict = {}
+        for r in rows:
+            by_type.setdefault(r["rel_type"], set()).add(r["pred"])
+        assert {"isa", "attr", "has_part", "action", "assoc"} <= set(by_type)
+        assert ("is a", "Q2") in {
+            (r["pred"], r["obj"]) for r in rows if r["rel_type"] == "isa"
+        }
+
+
+def _python_rel_type(pred: str) -> str:
+    """Independent replay of relations.rel_type_col."""
+    import re
+
+    words = pred.split(" ")
+    first = words[0]
+    second = words[1] if len(words) > 1 else ""
+    if first in ("is", "are", "was", "were", "be", "been"):
+        return "isa" if second in ("a", "an", "the") else "attr"
+    if first in ("has", "have", "had"):
+        return "has_part"
+    if re.fullmatch(r"[a-z]{3,}(s|ed|ing)", first):
+        return "action"
+    return "assoc"
+
+
+class TestRelTyping:
+    CASES = [
+        ("is a", "isa"), ("was the", "isa"), ("is an", "isa"),
+        ("is fast", "attr"), ("were quick ones", "attr"),
+        ("has a", "has_part"), ("had", "has_part"),
+        ("powers the", "action"), ("derived from", "action"),
+        ("uses", "action"), ("running", "action"),
+        ("and the", "assoc"), ("big", "assoc"), ("the", "assoc"),
+        ("a", "assoc"),
+        # stem floor: a 3-letter word cannot split as >=3-stem + suffix
+        ("its", "assoc"), ("red", "assoc"),
+        # only the FIRST word is typed
+        ("fast is a", "assoc"),
+    ]
+
+    def test_rule_matches_python_twin(self, spark):
+        from kgkit.operators.relations import rel_type_col
+
+        df = spark.createDataFrame(
+            [(p,) for p, _ in self.CASES], "pred string"
+        ).withColumn("rel_type", rel_type_col(F.col("pred")))
+        got = {r["pred"]: r["rel_type"] for r in df.collect()}
+        for pred, want in self.CASES:
+            assert got[pred] == want == _python_rel_type(pred), pred
+
+    def test_planted_pages_type_end_to_end(self, spark):
+        """RELATION_TEXTS through the real operator: each class lands."""
+        from kgkit.operators.canonicalize import canonical_map
+        from kgkit.operators.linking import link_mentions
+        from kgkit.operators.mentions import detect_mentions
+        from kgkit.sources.planted import relation_planted_pages
+
+        pages = relation_planted_pages(spark)
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        rel = extract_relations(
+            pages, link_mentions(detect_mentions(pages), emb),
+            canonical_map(spark),
+        )
+        got = {(r["pred"], r["rel_type"]): r["n"] for r in rel.collect()}
+        assert got[("is a", "isa")] == 2          # duplicate page counted
+        assert ("is the", "isa") in got
+        assert ("was fast", "attr") in got
+        assert ("has a", "has_part") in got
+        assert ("powers the", "action") in got
+        assert ("derived from", "action") in got
+        assert ("uses", "action") in got
+        assert ("and the", "assoc") in got
