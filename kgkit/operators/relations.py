@@ -182,6 +182,34 @@ def extract_relations(
     return relations_from_counts(rel)
 
 
+def entity_authority(rel: DataFrame, iters: int = 5) -> DataFrame:
+    """Entity centrality over the constructed knowledge graph:
+    the integer-exact PageRank (operators/linkgraph.py::pagerank, the
+    1/2^40 BIGINT grid — bit-reproducible at any partitioning) on the
+    subj->obj relation edges, weighted by occurrence count.
+
+    Input is any (subj, obj, n) relation table — extract_relations
+    output or the KG stream's live merged counts.  Predicate surfaces
+    collapse into one weighted pair edge first (map-side combine on
+    the already-aggregated relation, orders of magnitude below the
+    corpus); self-loops are dropped (an entity relating to itself says
+    nothing about centrality — the host_edges discipline).  The graph
+    is entity-sized, so the iteration runs at graph-sized shuffle
+    width with per-round localCheckpoint exactly like host authority.
+
+    Returns (node, rank_q): rank on the 1/2^40 grid, identical to the
+    pure-python recurrence (tests/test_linkgraph.py twin).
+    """
+    from kgkit.operators.linkgraph import pagerank
+
+    edges = (
+        rel.filter(F.col("subj") != F.col("obj"))
+        .groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .agg(F.sum("n").cast("long").alias("weight"))
+    )
+    return pagerank(edges, iters)
+
+
 def relations_from_counts(rel: DataFrame) -> DataFrame:
     """(subj, pred, obj, n) counts -> NPMI-annotated relation edges.
 

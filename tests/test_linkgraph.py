@@ -154,6 +154,28 @@ class TestPagerank:
             v: (twin[v], out_w.get(v, 0), in_w.get(v, 0)) for v in twin
         }
 
+    def test_entity_authority_over_relation_graph(self, spark):
+        """entity_authority == twin over the pair-collapsed edges:
+        predicate surfaces merge into one weighted edge, self-loops
+        drop, and the recurrence is the same BIGINT grid."""
+        from kgkit.operators.relations import entity_authority
+
+        rel = spark.createDataFrame(
+            [
+                ("Q1", "is a", "Q2", 3), ("Q1", "powers the", "Q2", 2),
+                ("Q2", "uses", "Q3", 4), ("Q3", "and the", "Q1", 1),
+                ("Q4", "has a", "Q1", 5), ("Q2", "big", "Q2", 9),
+            ],
+            "subj string, pred string, obj string, n long",
+        )
+        got = {r["node"]: r["rank_q"]
+               for r in entity_authority(rel).collect()}
+        # surfaces collapse: Q1->Q2 weight 5; the Q2->Q2 self-loop is
+        # dropped entirely (it must not appear as a node either)
+        edges = [("Q1", "Q2", 5), ("Q2", "Q3", 4), ("Q3", "Q1", 1),
+                 ("Q4", "Q1", 5)]
+        assert got == _pagerank_twin(edges)
+
     def test_resolution_differential_fuzz(self, spark):
         """Batched differential: page_links' JVM resolution rules vs a
         pure-python twin over ~400 generated (src, href) shapes — one
