@@ -49,6 +49,8 @@ Scale design (the plan IS the product at 100 TB):
 
 from __future__ import annotations
 
+from typing import List
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -208,6 +210,57 @@ def entity_authority(rel: DataFrame, iters: int = 5) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("weight"))
     )
     return pagerank(edges, iters)
+
+
+def neighborhood(
+    rel: DataFrame,
+    seeds: List[str],
+    k: int = 2,
+    directed: bool = False,
+) -> DataFrame:
+    """k-hop neighborhood of ``seeds`` over the relation graph —
+    the basic "query the constructed KG" primitive.  Returns
+    (entity, hops) with the MINIMUM hop distance (0 for the seeds
+    themselves), entities beyond ``k`` hops excluded.
+
+    Frontier expansion, driver-paced like the CC/PageRank loops:
+    each round joins the (already pair-collapsed, entity-graph-sized)
+    edge table against the frontier, anti-joins the visited set, and
+    eagerly localCheckpoints the new layer — lineage stays O(1) and a
+    round that produces an empty frontier exits early.  The edge table
+    is persisted once at graph-sized shuffle width; nothing scales
+    with the corpus, only with the graph.  Undirected mode unions the
+    reversed edges (one projection, no second shuffle) rather than
+    joining twice per round.
+    """
+    spark = rel.sparkSession
+    e = rel.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            rel.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+        )
+    e = e.distinct().persist()
+    try:
+        visited = spark.createDataFrame(
+            [(s, 0) for s in seeds], "entity string, hops int"
+        ).localCheckpoint()
+        frontier = visited.select("entity")
+        for hop in range(1, k + 1):
+            nxt = (
+                e.join(frontier, e.src == frontier.entity)
+                .select(F.col("dst").alias("entity"))
+                .distinct()
+                .join(visited, "entity", "left_anti")
+                .withColumn("hops", F.lit(hop))
+                .localCheckpoint()  # eager: truncate per-round lineage
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt.select("entity")
+        return visited
+    finally:
+        e.unpersist()
 
 
 def relations_from_counts(rel: DataFrame) -> DataFrame:

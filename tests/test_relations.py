@@ -174,6 +174,74 @@ class TestExtractRelations:
         assert {r["url"] for r in pairs} == {"u://1", "u://2", "u://3", "u://5"}
 
 
+def _python_bfs(edges, seeds, k, directed):
+    """BFS twin: min-hop distance from the seed set, capped at k."""
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, k + 1):
+        nxt = set()
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = hop
+                    nxt.add(w)
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+class TestNeighborhood:
+    # diamond + tail + island; Q1->Q3 both direct and via Q2
+    EDGES = [
+        ("Q1", "Q2"), ("Q2", "Q3"), ("Q1", "Q3"), ("Q3", "Q4"),
+        ("Q4", "Q5"), ("Q6", "Q1"), ("Q7", "Q8"),
+    ]
+
+    def _rel(self, spark):
+        return spark.createDataFrame(
+            [(s, "p", o, 1) for s, o in self.EDGES],
+            "subj string, pred string, obj string, n long",
+        )
+
+    @pytest.mark.parametrize("directed", [True, False])
+    @pytest.mark.parametrize("k", [1, 2, 4])
+    def test_matches_bfs_twin(self, spark, directed, k):
+        from kgkit.operators.relations import neighborhood
+
+        got = {
+            r["entity"]: r["hops"]
+            for r in neighborhood(
+                self._rel(spark), ["Q1"], k=k, directed=directed
+            ).collect()
+        }
+        assert got == _python_bfs(self.EDGES, ["Q1"], k, directed)
+        # hop minimality: Q3 is reachable in 1 (direct) and 2 (via Q2)
+        if k >= 1:
+            assert got["Q3"] == 1
+        # the island never appears
+        assert "Q7" not in got and "Q8" not in got
+
+    def test_multi_seed_and_early_exit(self, spark):
+        from kgkit.operators.relations import neighborhood
+
+        # k far beyond the graph diameter: the empty-frontier exit
+        # stops the loop; multi-seed distances are min over seeds
+        got = {
+            r["entity"]: r["hops"]
+            for r in neighborhood(
+                self._rel(spark), ["Q6", "Q4"], k=99, directed=True
+            ).collect()
+        }
+        assert got == _python_bfs(self.EDGES, ["Q6", "Q4"], 99, True)
+        assert got["Q4"] == 0 and got["Q5"] == 1 and got["Q1"] == 1
+
+
 class TestRelationsPlan:
     def test_stage1_udf_runs_once_and_persist_is_aggregated(self, spark):
         """The 4-branch marginal fan-out must read the persisted
