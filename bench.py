@@ -109,6 +109,15 @@ PARALLEL_STAGE_QUERIES = frozenset({
     # r5: WARC Arrow parse / shingling HOFs / JVM regexp extraction
     # dominate — parallel-stage
     "host_authority", "dedup_clusters", "anchor_aliases",
+    # r5b: the late-round registry rows whose walls are many-core
+    # CPU-bound — the mention-UDF lineage (kg_relations), the Arrow
+    # shard packer (pack_sequences), the WARC record parse
+    # (warc_pages), corpus-wide JVM explode/HOF stages (boilerplate,
+    # trained scorer, composed cleaner, shingling dedup family)
+    "kg_relations", "quality_trained", "pack_sequences", "warc_pages",
+    "boilerplate_lines", "corpus_clean_accounting",
+    "substring_dup_winnow", "dedup_ngram_jaccard", "dedup_incremental",
+    "dedup_embedding_cosine",
 })
 
 
