@@ -169,27 +169,39 @@ def normalized_deltas(timings, control, control_mp=None, prev_path=None):
     import glob
 
     if prev_path is None:
-        cands = sorted(glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
-        if not cands:
-            return {}
-        prev_path = cands[-1]
-    try:
-        with open(prev_path) as fh:
-            prev = json.load(fh)
-    except (OSError, ValueError):
-        return {}
+        paths = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+            reverse=True)
+    else:
+        paths = [prev_path]
     # the driver's BENCH_r{N}.json wraps bench.py's line as {"parsed": …};
     # when its parse failed (parsed: null, truncated tail — seen in r4)
-    # fall back to our own locally appended history so cross-round
-    # machine flags survive
-    if "parsed" in prev:
-        prev = prev["parsed"]
-        if not isinstance(prev, dict):
-            prev = _last_local_record(exclude_round=_driver_round())
-            if prev is None:
-                return {}
-            prev_path = _LOCAL_HISTORY  # honest "vs" label below
+    # walk BACK to the newest round whose record is usable (r5: r4 was
+    # null and the local history held only same-round records, so the
+    # old single-step fallback yielded no deltas at all), then fall
+    # back to our own locally appended history
+    prev = None
+    skipped = 0
+    for i, p in enumerate(paths):
+        try:
+            with open(p) as fh:
+                cand = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if "parsed" in cand:
+            cand = cand["parsed"]
+        if (
+            isinstance(cand, dict)
+            and cand.get("queries")
+            and cand.get("host_control_docs_per_sec")
+        ):
+            prev, prev_path, skipped = cand, p, i
+            break
+    if prev is None:
+        prev = _last_local_record(exclude_round=_driver_round())
+        if prev is None:
+            return {}
+        prev_path = _LOCAL_HISTORY  # honest "vs" label below
     prev_control = prev.get("host_control_docs_per_sec")
     prev_mp = prev.get("host_control_mp_pages_per_sec")
     prev_q = prev.get("queries", {})
@@ -202,6 +214,14 @@ def normalized_deltas(timings, control, control_mp=None, prev_path=None):
         "control_scale": round(scale, 4),
         "control_scale_mp": round(mp_scale, 4),
     }
+    if skipped:
+        out["caveat"] = (
+            f"{skipped} intervening round(s) unparsed — deltas span "
+            "multiple rounds of suite-composition change (see BASELINE.md "
+            "§4 intrinsic-growth notes) and, when the prior record lacks "
+            "the mp control, parallel-stage queries normalize by the "
+            "1-proc clock only"
+        )
     deltas = {}
     control_class = {}
     for name, wall in timings.items():
