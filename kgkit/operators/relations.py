@@ -242,7 +242,8 @@ def neighborhood(
     e = e.distinct().persist()
     try:
         visited = spark.createDataFrame(
-            [(s, 0) for s in seeds], "entity string, hops int"
+            [(s, 0) for s in dict.fromkeys(seeds)],  # order-stable dedupe
+            "entity string, hops int",
         ).localCheckpoint()
         frontier = visited.select("entity")
         for hop in range(1, k + 1):
@@ -261,6 +262,37 @@ def neighborhood(
         return visited
     finally:
         e.unpersist()
+
+
+def canonical_predicates(rel: DataFrame) -> DataFrame:
+    """Collapse the surface-form variety of an entity pair to ONE
+    canonical edge — the predicate-canonicalization counterpart of
+    stage 3's entity canonicalization.  For each (subj, obj) the
+    highest-count surface wins (ties break to the lexicographically
+    smallest surface, so the choice is deterministic on any engine and
+    partitioning), carrying its rel_type and the PAIR total.
+
+    One map-side-combined aggregation over the already-aggregated
+    relation table: ``max_by`` on the (n, reversed-surface) struct —
+    no window over hub pairs, no second shuffle.
+    """
+    # order key: higher n wins; equal n -> smaller pred wins.  max_by
+    # compares structs lexicographically, so negate the tie dimension
+    # by comparing on (n, pred) with pred order flipped via a
+    # monotone-decreasing transform: max over (n, -rank(pred)) is not
+    # expressible directly on strings, so use min_by on (-n, pred).
+    key = F.struct((-F.col("n")).alias("neg_n"), F.col("pred").alias("p"))
+    return rel.groupBy("subj", "obj").agg(
+        F.min_by(F.struct("pred", "rel_type", "n"), key).alias("_w"),
+        F.sum("n").cast("long").alias("pair_n"),
+    ).select(
+        "subj",
+        F.col("_w.pred").alias("pred"),
+        F.col("_w.rel_type").alias("rel_type"),
+        "obj",
+        F.col("_w.n").cast("long").alias("n"),
+        "pair_n",
+    )
 
 
 def relations_from_counts(rel: DataFrame) -> DataFrame:

@@ -242,6 +242,47 @@ class TestNeighborhood:
         assert got["Q4"] == 0 and got["Q5"] == 1 and got["Q1"] == 1
 
 
+class TestCanonicalPredicates:
+    def test_max_count_wins_ties_to_smallest_surface(self, spark):
+        from kgkit.operators.relations import canonical_predicates
+
+        rel = spark.createDataFrame(
+            [
+                ("Q1", "is a", "Q2", 3), ("Q1", "powers the", "Q2", 5),
+                ("Q1", "uses", "Q2", 5),          # tie with 'powers the'
+                ("Q3", "has a", "Q4", 1),
+            ],
+            "subj string, pred string, obj string, n long",
+        )
+        rel = rel.withColumn(
+            "rel_type",
+            F.when(F.col("pred") == "is a", "isa")
+            .when(F.col("pred") == "has a", "has_part")
+            .otherwise("action"),
+        )
+        got = {
+            (r["subj"], r["obj"]):
+                (r["pred"], r["rel_type"], r["n"], r["pair_n"])
+            for r in canonical_predicates(rel).collect()
+        }
+        # 5-count tie: 'powers the' < 'uses' lexicographically
+        assert got[("Q1", "Q2")] == ("powers the", "action", 5, 13)
+        assert got[("Q3", "Q4")] == ("has a", "has_part", 1, 1)
+
+    def test_partitioning_invariant(self, spark):
+        from kgkit.operators.relations import canonical_predicates
+
+        rel = spark.createDataFrame(
+            [("Q1", f"w{i % 7}", "Q2", (i % 5) + 1) for i in range(200)],
+            "subj string, pred string, obj string, n long",
+        ).groupBy("subj", "pred", "obj").agg(
+            F.sum("n").cast("long").alias("n")
+        ).withColumn("rel_type", F.lit("assoc"))
+        a = canonical_predicates(rel.repartition(1)).collect()
+        b = canonical_predicates(rel.repartition(13)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 class TestRelationsPlan:
     def test_stage1_udf_runs_once_and_persist_is_aggregated(self, spark):
         """The 4-branch marginal fan-out must read the persisted
