@@ -134,11 +134,12 @@ def relation_stream(
     max_gap_chars: int = 64,
     max_pred_words: int = 4,
 ) -> DataFrame:
-    """One (subj, pred, obj) row per relation OCCURRENCE — entirely
-    per-page (window within the page, gap substring from the page's
-    own text, static canonical map), which is what lets the
+    """One (url, subj, pred, obj) row per relation OCCURRENCE —
+    entirely per-page (window within the page, gap substring from the
+    page's own text, static canonical map), which is what lets the
     incremental KG stream contribute per-batch partial counts whose
-    sum equals the batch aggregation exactly."""
+    sum equals the batch aggregation exactly (and, in recrawl mode,
+    retract a superseded page's occurrences by url)."""
     pairs = relation_pairs(linked, canon, max_gap_chars)
     pred = F.trim(
         F.substring(
@@ -154,7 +155,7 @@ def relation_stream(
         pairs.join(pages.select("url", "text"), "url")
         .withColumn("pred", pred)
         .filter(F.col("pred").rlike(pat))
-        .select("subj", "pred", "obj")
+        .select("url", "subj", "pred", "obj")
     )
 
 

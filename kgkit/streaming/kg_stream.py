@@ -44,6 +44,24 @@ compacted counts frame with the manifest protocol of
 streaming/dedup_stream.py — same code shape, omitted here because the
 store re-aggregate is exact and simpler).
 
+Recrawl supersession (``recrawl=True``): a live crawl REVISITS urls,
+and an append-only store would serve both versions' triples and count
+them twice.  Supersession keeps one extra tiny state — (url, latest
+batch) partials merged by max — and, when a batch re-delivers known
+urls, appends NEGATIVE count partials computed from the superseded
+versions' stored rows (each (url, prev-latest-batch) pair retracts
+exactly once, so k recrawls retract k-1 versions exactly; sums with
+mixed signs still commute).  Durable parts embed a ``_batch`` column
+so both the retraction probe and the read path (``triples()`` joins
+the broadcast-sized url index) filter distributed-side; the relation
+parts additionally keep url so their retraction can filter by it (the
+in-memory partials stay url-free).  After any prefix of the stream,
+every read accessor equals the one-shot batch pipeline over each
+url's LATEST version (tests/test_kg_stream.py::TestRecrawl).  The
+retraction probe joins the store against a broadcast of the replaced
+set — at production scale the store is url-bucketed, so the probe
+prunes to the touched buckets rather than scanning.
+
 Like dedup_stream, foreachBatch (not a stateful operator) is the right
 tool: the per-batch work is a composition of whole DataFrame stages
 against broadcast dimension tables, not per-key state that fits the
@@ -90,17 +108,26 @@ class IncrementalKGStream:
         triples_dir: Optional[str] = None,
         compact_every: int = 8,
         model: str = "gazetteer",
+        recrawl: bool = False,
     ):
         self.embeddings = embeddings
         self.canon = canon
         self.triples_dir = triples_dir
         self.compact_every = compact_every
         self.model = model
+        self.recrawl = recrawl
         self.count_parts: List[DataFrame] = []
         self.rel_parts: List[DataFrame] = []  # (subj,pred,obj,n) partials
+        self.url_parts: List[DataFrame] = []  # (url, _batch) partials
         self._parts_since_compact = 0
         self._counted_ids: set = set()  # replay guard for counts parts
         self._spill: List[DataFrame] = []  # previous batch's scratch frames
+        if recrawl and triples_dir is None:
+            raise ValueError(
+                "recrawl supersession needs the durable store: the "
+                "retraction of a superseded version's counts is computed "
+                "from its stored rows"
+            )
 
     @classmethod
     def resume(
@@ -115,9 +142,22 @@ class IncrementalKGStream:
         names = _part_dirs(triples_dir)
         if not names:
             raise FileNotFoundError(f"no complete triples parts in {triples_dir}")
-        stored = spark.read.parquet(
-            *[os.path.join(triples_dir, n) for n in names]
-        )
+        if stm.recrawl:
+            # rebuild the url index first, then aggregate ONLY each
+            # url's latest version — the store may hold superseded rows
+            stored_b = stm._store_with_batch(spark, "batch=")
+            stm.url_parts = [
+                stored_b.groupBy("url")
+                .agg(F.max("_batch").alias("_batch"))
+                .localCheckpoint()
+            ]
+            stored = stored_b.join(
+                F.broadcast(stm.url_index()), ["url", "_batch"]
+            )
+        else:
+            stored = spark.read.parquet(
+                *[os.path.join(triples_dir, n) for n in names]
+            )
         stm.count_parts = [
             stored.groupBy("obj").agg(F.count("*").alias("n")).localCheckpoint()
         ]
@@ -126,10 +166,22 @@ class IncrementalKGStream:
             if int(n.split("=")[1]) in {int(m.split("=")[1]) for m in names}
         ]
         if rel_names:
-            stm.rel_parts = [
-                spark.read.parquet(
+            rel_stored = (
+                stm._store_with_batch(
+                    spark, "relbatch=",
+                    only_ids={int(m.split("=")[1]) for m in names},
+                )
+                if stm.recrawl
+                else spark.read.parquet(
                     *[os.path.join(triples_dir, n) for n in rel_names]
                 )
+            )
+            if stm.recrawl and "url" in rel_stored.columns:
+                rel_stored = rel_stored.join(
+                    F.broadcast(stm.url_index()), ["url", "_batch"]
+                )
+            stm.rel_parts = [
+                rel_stored
                 .groupBy("subj", "pred", "obj")
                 .agg(F.sum("n").cast("long").alias("n"))
                 .localCheckpoint()
@@ -147,15 +199,81 @@ class IncrementalKGStream:
             df.unpersist()
         self._spill = []
 
+    def url_index(self) -> DataFrame:
+        """(url, _batch): the LATEST batch that delivered each url —
+        merge of the per-batch partials (max commutes like the count
+        sums).  Empty frame before the first recrawl-mode batch."""
+        if not self.url_parts:
+            return self.embeddings.sparkSession.createDataFrame(
+                [], "url string, _batch long"
+            )
+        return (
+            _union_all(self.url_parts)
+            .groupBy("url")
+            .agg(F.max("_batch").alias("_batch"))
+        )
+
+    def _store_with_batch(
+        self, spark: SparkSession, prefix: str, only_ids: Optional[set] = None
+    ) -> DataFrame:
+        """Durable parts with their batch id as a ``_batch`` column
+        (embedded at write time in recrawl mode; the dir name is the
+        fallback for pre-recrawl parts, read per-dir).  ``only_ids``
+        restricts to the given batch ids — resume uses the triples
+        parts' ids so an orphan relbatch part (crash between the two
+        writes) cannot desynchronize the rebuilt counts."""
+        names = _part_dirs(self.triples_dir, prefix=prefix)
+        if only_ids is not None:
+            names = [n for n in names if int(n.split("=")[1]) in only_ids]
+        frames = []
+        for n in names:
+            df = spark.read.parquet(os.path.join(self.triples_dir, n))
+            if "_batch" not in df.columns:
+                df = df.withColumn(
+                    "_batch", F.lit(int(n.split("=")[1])).cast("long")
+                )
+            frames.append(df)
+        return _union_all(frames) if frames else None
+
+    def _retractions(
+        self, spark: SparkSession, replaced: DataFrame
+    ) -> None:
+        """Append NEGATIVE count partials for the superseded versions'
+        stored rows: ``replaced`` is (url, _batch) naming, per recrawled
+        url, exactly the version being superseded — so a url recrawled
+        k times retracts each version exactly once.  Fully distributed:
+        the stores join the broadcast-sized replaced set; at production
+        scale the stores are url-bucketed so the probe prunes."""
+        stale_t = self._store_with_batch(spark, "batch=").join(
+            F.broadcast(replaced), ["url", "_batch"]
+        )
+        self.count_parts.append(
+            stale_t.groupBy("obj")
+            .agg((-F.count("*")).alias("n"))
+            .localCheckpoint()
+        )
+        stale_r = self._store_with_batch(spark, "relbatch=")
+        if stale_r is not None and "url" in stale_r.columns:
+            self.rel_parts.append(
+                stale_r.join(F.broadcast(replaced), ["url", "_batch"])
+                .groupBy("subj", "pred", "obj")
+                .agg((-F.sum("n")).cast("long").alias("n"))
+                .localCheckpoint()
+            )
+
     def process_batch(
         self, pages: DataFrame, batch_id: Optional[int] = None
     ) -> DataFrame:
         """One micro-batch of pages(url, text, ...) -> that batch's
         triples (same schema as the batch pipeline's), durably appended
-        and folded into the live counts."""
+        and folded into the live counts.  In recrawl mode a url seen in
+        an earlier batch is SUPERSEDED: the old version's contribution
+        is retracted from every live aggregate and the read paths serve
+        only the latest version."""
         # the previous batch's triples have been consumed by the sink
         # (foreachBatch contract), so its scratch frames can go now
         self._release_spill()
+        spark = pages.sparkSession
         mentions = detect_mentions(pages, model=self.model).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -165,7 +283,7 @@ class IncrementalKGStream:
         # broadcast-join + url exchange is batch-sized and cheaper than
         # leaking assemble_triples' internal cache across triggers
         triples = assemble_triples(
-            linked, self._canon(pages.sparkSession), persist=False
+            linked, self._canon(spark), persist=False
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
         # relation partial counts: relation_stream is per-page (the
@@ -173,23 +291,49 @@ class IncrementalKGStream:
         # batch's groupBy(subj, pred, obj).count() is a commutative
         # partial whose merged sum equals the batch aggregation; the
         # NPMI annotation is deferred to read time (relations()) —
-        # it is a pure function of the merged integers
+        # it is a pure function of the merged integers.  Recrawl mode
+        # keeps url in the DURABLE part (retraction filters by it);
+        # the in-memory partial always drops it.
+        rel_occ = relation_stream(pages, linked, self._canon(spark))
         rel_part = (
-            relation_stream(pages, linked, self._canon(pages.sparkSession))
-            .groupBy("subj", "pred", "obj")
+            rel_occ.groupBy("url", "subj", "pred", "obj")
+            .agg(F.count("*").alias("n"))
+            if self.recrawl
+            else rel_occ.groupBy("subj", "pred", "obj")
             .agg(F.count("*").alias("n"))
         )
 
+        if self.recrawl and batch_id is None:
+            raise ValueError("recrawl supersession needs batch ids")
         if self.triples_dir is not None and batch_id is not None:
             # overwrite mode: a foreachBatch replay of the same batch_id
             # rewrites the same dir with the same rows — idempotent
-            triples.write.mode("overwrite").parquet(
+            bcol = F.lit(batch_id).cast("long")
+            (triples.withColumn("_batch", bcol) if self.recrawl
+             else triples).write.mode("overwrite").parquet(
                 os.path.join(self.triples_dir, f"batch={batch_id}")
             )
-            rel_part.write.mode("overwrite").parquet(
+            (rel_part.withColumn("_batch", bcol) if self.recrawl
+             else rel_part).write.mode("overwrite").parquet(
                 os.path.join(self.triples_dir, f"relbatch={batch_id}")
             )
         if batch_id is None or batch_id not in self._counted_ids:
+            if self.recrawl:
+                # versions superseded by THIS batch: the index rows
+                # (url -> previous latest batch) of this batch's urls.
+                # Must be resolved against the index BEFORE this
+                # batch's own url partial joins it.
+                replaced = self.url_index().join(
+                    pages.select("url").distinct(), "url"
+                ).localCheckpoint()
+                if not replaced.isEmpty():
+                    self._retractions(spark, replaced)
+                self.url_parts.append(
+                    pages.select("url")
+                    .distinct()
+                    .withColumn("_batch", F.lit(batch_id).cast("long"))
+                    .localCheckpoint()
+                )
             # partial aggregate parts: bounded by the batch, map-side
             # combined, eagerly materialized so they outlive the spill
             self.count_parts.append(
@@ -197,7 +341,13 @@ class IncrementalKGStream:
                 .agg(F.count("*").alias("n"))
                 .localCheckpoint()
             )
-            self.rel_parts.append(rel_part.localCheckpoint())
+            self.rel_parts.append(
+                rel_part.groupBy("subj", "pred", "obj")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .localCheckpoint()
+                if self.recrawl
+                else rel_part.localCheckpoint()
+            )
             if batch_id is not None:
                 self._counted_ids.add(batch_id)
             self._parts_since_compact += 1
@@ -228,10 +378,20 @@ class IncrementalKGStream:
             ]
             if self.rel_parts else []
         )
-        for p in self.count_parts + self.rel_parts:
+        url_folded = (
+            [
+                _union_all(self.url_parts)
+                .groupBy("url")
+                .agg(F.max("_batch").alias("_batch"))
+                .localCheckpoint()
+            ]
+            if self.url_parts else []
+        )
+        for p in self.count_parts + self.rel_parts + self.url_parts:
             p.unpersist()
         self.count_parts = [folded]
         self.rel_parts = rel_folded
+        self.url_parts = url_folded
         self._parts_since_compact = 0
 
     def entity_counts(self) -> DataFrame:
@@ -246,6 +406,9 @@ class IncrementalKGStream:
             _union_all(self.count_parts)
             .groupBy("obj")
             .agg(F.sum("n").cast("long").alias("n_triples"))
+            # recrawl retractions can zero an entity out entirely —
+            # an exact cancellation, not a count of 0 triples
+            .filter(F.col("n_triples") > 0)
         )
 
     def relations(self) -> DataFrame:
@@ -264,11 +427,14 @@ class IncrementalKGStream:
             _union_all(self.rel_parts)
             .groupBy("subj", "pred", "obj")
             .agg(F.sum("n").cast("long").alias("n"))
+            .filter(F.col("n") > 0)  # fully-retracted edges vanish
         )
         return relations_from_counts(merged)
 
     def triples(self, spark: SparkSession) -> DataFrame:
-        """The durable triples store (complete parts only)."""
+        """The durable triples store (complete parts only).  In recrawl
+        mode, only each url's LATEST version: the store joins the tiny
+        (url, latest-batch) index, so superseded rows never surface."""
         if self.triples_dir is None:
             raise ValueError("stream has no triples_dir")
         names = _part_dirs(self.triples_dir)
@@ -277,6 +443,12 @@ class IncrementalKGStream:
                 [],
                 "subj string, pred string, obj string, url string, "
                 "char_start int, char_end int, bucket int",
+            )
+        if self.recrawl:
+            return (
+                self._store_with_batch(spark, "batch=")
+                .join(F.broadcast(self.url_index()), ["url", "_batch"])
+                .drop("_batch")
             )
         return spark.read.parquet(
             *[os.path.join(self.triples_dir, n) for n in names]

@@ -138,6 +138,117 @@ class TestReplayIdempotence:
         assert got == want
 
 
+class TestRecrawl:
+    """Supersession: a recrawled url's old version is retracted from
+    every live aggregate; all read paths equal the batch pipeline over
+    each url's LATEST version."""
+
+    def _slices(self, spark):
+        from kgkit.sources.pages import load_pages, pages_for_mentions
+        from pyspark.sql import functions as F
+
+        pages = pages_for_mentions(load_pages(spark, SF_DIR)).filter(
+            "pmod(xxhash64(url), 6) = 0"
+        )
+        a = pages.filter("pmod(xxhash64(url), 3) = 0")
+        b = pages.filter("pmod(xxhash64(url), 3) = 1")
+        c = pages.filter("pmod(xxhash64(url), 3) = 2")
+        # version 2 of HALF of slice a: new text, same urls
+        a2 = a.filter("pmod(xxhash64(url), 2) = 0").withColumn(
+            "text", F.concat(F.lit("fresh spark stream content "),
+                             F.col("text"))
+        )
+        # version 3 of a subset of those
+        a3 = a2.filter("pmod(xxhash64(url), 4) = 0").withColumn(
+            "text", F.concat(F.lit("third crawl vector data "),
+                             F.col("text"))
+        )
+        return a, b, c, a2, a3
+
+    @staticmethod
+    def _latest(*versions):
+        """Later frames win per url."""
+        out = versions[0]
+        for v in versions[1:]:
+            out = out.join(
+                v.select("url"), "url", "left_anti"
+            ).unionByName(v)
+        return out
+
+    def test_all_reads_equal_batch_over_latest(
+        self, spark, embeddings, tmp_path
+    ):
+        from kgkit.streaming.kg_stream import IncrementalKGStream
+
+        a, b, c, a2, a3 = self._slices(spark)
+        stm = IncrementalKGStream(
+            embeddings, triples_dir=str(tmp_path / "store"), recrawl=True
+        )
+        stm.process_batch(a, batch_id=0)
+        stm.process_batch(b.unionByName(a2), batch_id=1)  # recrawl half of a
+        stm.process_batch(c.unionByName(a3), batch_id=2)  # third version
+
+        latest = self._latest(a, b.unionByName(a2), c.unionByName(a3))
+        batch = _batch_triples(spark, latest, embeddings)
+        assert len(_rows(batch)) > 0
+        assert _rows(stm.triples(spark)) == _rows(batch)
+        got = {r["obj"]: r["n_triples"]
+               for r in stm.entity_counts().collect()}
+        want = {r["obj"]: r["count"]
+                for r in batch.groupBy("obj").count().collect()}
+        assert got == want
+        assert _rows(stm.relations()) == _rows(
+            _batch_relations(spark, latest, embeddings)
+        )
+
+    def test_recrawl_replay_and_resume(self, spark, embeddings, tmp_path):
+        from kgkit.streaming.kg_stream import IncrementalKGStream
+
+        a, b, c, a2, _ = self._slices(spark)
+        store = str(tmp_path / "store")
+        stm = IncrementalKGStream(
+            embeddings, triples_dir=store, recrawl=True
+        )
+        stm.process_batch(a, batch_id=0)
+        stm.process_batch(a2, batch_id=1)
+        want_counts = _rows(stm.entity_counts())
+        # replay of the recrawl batch: retraction must NOT run twice
+        stm.process_batch(a2, batch_id=1)
+        assert _rows(stm.entity_counts()) == want_counts
+
+        # crash: resume rebuilds counts + url index from the store,
+        # serving only latest versions
+        stm2 = IncrementalKGStream.resume(
+            spark, embeddings, store, recrawl=True
+        )
+        assert stm2._counted_ids == {0, 1}
+        assert _rows(stm2.entity_counts()) == want_counts
+        latest = self._latest(a, a2)
+        assert _rows(stm2.triples(spark)) == _rows(
+            _batch_triples(spark, latest, embeddings)
+        )
+        assert _rows(stm2.relations()) == _rows(
+            _batch_relations(spark, latest, embeddings)
+        )
+        # and the resumed stream keeps superseding correctly
+        from pyspark.sql import functions as F
+
+        a3 = a2.withColumn(
+            "text", F.concat(F.lit("resumed recrawl "), F.col("text"))
+        )
+        stm2.process_batch(a3, batch_id=2)
+        latest3 = self._latest(a, a2, a3)
+        assert _rows(stm2.triples(spark)) == _rows(
+            _batch_triples(spark, latest3, embeddings)
+        )
+
+    def test_recrawl_requires_durable_store(self, embeddings):
+        from kgkit.streaming.kg_stream import IncrementalKGStream
+
+        with pytest.raises(ValueError):
+            IncrementalKGStream(embeddings, recrawl=True)
+
+
 class TestDurableResume:
     def test_resume_continues_without_source_replay(
         self, spark, embeddings, tmp_path
