@@ -46,22 +46,48 @@ from kgkit.operators.boilerplate import (
     remove_boilerplate_lines,
 )
 from kgkit.streaming.dedup_stream import _union_all
-from kgkit.streaming.kg_stream import _part_dirs
+from kgkit.streaming.kg_stream import _part_dirs, _parts_with_batch
 
 
 class IncrementalBoilerplateStream:
-    """Crawl stream -> durable page store + live per-host line stats."""
+    """Crawl stream -> durable page store + live per-host line stats.
+
+    ``recrawl=True`` adds the kg_stream supersession discipline: a
+    re-delivered doc_id's old version is retracted from the line
+    statistics (negative partials from its stored rows — a banner that
+    disappeared from a host's recrawl stops counting toward the
+    template threshold) and ``pages``/``clean_pages`` serve only each
+    document's latest version."""
 
     def __init__(
         self,
         pages_dir: Optional[str] = None,
         compact_every: int = 8,
+        recrawl: bool = False,
     ):
         self.pages_dir = pages_dir
         self.compact_every = compact_every
+        self.recrawl = recrawl
         self.line_parts: List[DataFrame] = []  # (host, lh, n_docs) partials
+        self.id_parts: List[DataFrame] = []    # (doc_id, _batch) partials
         self._parts_since_compact = 0
         self._counted_ids: set = set()  # replay guard
+        if recrawl and pages_dir is None:
+            raise ValueError(
+                "recrawl supersession needs the durable store: the "
+                "retraction of a superseded version's line counts is "
+                "computed from its stored rows"
+            )
+
+    def doc_index(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, _batch): latest batch that delivered each doc."""
+        if not self.id_parts:
+            return spark.createDataFrame([], "doc_id long, _batch long")
+        return (
+            _union_all(self.id_parts)
+            .groupBy("doc_id")
+            .agg(F.max("_batch").alias("_batch"))
+        )
 
     @classmethod
     def resume(
@@ -70,14 +96,26 @@ class IncrementalBoilerplateStream:
         """Rebuild from the durable page store without replaying the
         source: complete parts name the processed batches; the line
         statistics are re-aggregated from the store in one scan (exact
-        — the store IS the corpus the partials summarized)."""
+        — the store IS the corpus the partials summarized; in recrawl
+        mode only each document's latest version is aggregated)."""
         stm = cls(pages_dir=pages_dir, **kw)
         names = _part_dirs(pages_dir)
         if not names:
             raise FileNotFoundError(f"no complete page parts in {pages_dir}")
-        stored = spark.read.parquet(
-            *[os.path.join(pages_dir, n) for n in names]
-        )
+        if stm.recrawl:
+            stored_b = _parts_with_batch(spark, pages_dir)
+            stm.id_parts = [
+                stored_b.groupBy("doc_id")
+                .agg(F.max("_batch").alias("_batch"))
+                .localCheckpoint()
+            ]
+            stored = stored_b.join(
+                F.broadcast(stm.doc_index(spark)), ["doc_id", "_batch"]
+            )
+        else:
+            stored = spark.read.parquet(
+                *[os.path.join(pages_dir, n) for n in names]
+            )
         stm.line_parts = [host_line_counts(stored).localCheckpoint()]
         stm._counted_ids = {int(n.split("=")[1]) for n in names}
         return stm
@@ -88,15 +126,40 @@ class IncrementalBoilerplateStream:
         """One micro-batch of docs(doc_id, host, text): durably append
         the raw pages and fold the batch's line statistics into the
         live counts.  Returns the batch's own (host, lh, n_docs)
-        partial (already materialized)."""
+        partial (already materialized).  In recrawl mode a re-delivered
+        doc_id supersedes its stored version (retraction first, then
+        the new partial)."""
+        spark = docs.sparkSession
         part = host_line_counts(docs).localCheckpoint()  # eager: O(batch)
+        if self.recrawl and batch_id is None:
+            raise ValueError("recrawl supersession needs batch ids")
         if self.pages_dir is not None and batch_id is not None:
             # overwrite mode: a replay of the same batch_id rewrites the
             # same dir with the same rows — idempotent
-            docs.write.mode("overwrite").parquet(
+            (docs.withColumn("_batch", F.lit(batch_id).cast("long"))
+             if self.recrawl else docs).write.mode("overwrite").parquet(
                 os.path.join(self.pages_dir, f"batch={batch_id}")
             )
         if batch_id is None or batch_id not in self._counted_ids:
+            if self.recrawl:
+                replaced = self.doc_index(spark).join(
+                    docs.select("doc_id").distinct(), "doc_id"
+                ).localCheckpoint()
+                if not replaced.isEmpty():
+                    stale = _parts_with_batch(spark, self.pages_dir).join(
+                        F.broadcast(replaced), ["doc_id", "_batch"]
+                    )
+                    self.line_parts.append(
+                        host_line_counts(stale)
+                        .withColumn("n_docs", -F.col("n_docs"))
+                        .localCheckpoint()
+                    )
+                self.id_parts.append(
+                    docs.select("doc_id")
+                    .distinct()
+                    .withColumn("_batch", F.lit(batch_id).cast("long"))
+                    .localCheckpoint()
+                )
             self.line_parts.append(part)
             if batch_id is not None:
                 self._counted_ids.add(batch_id)
@@ -114,20 +177,33 @@ class IncrementalBoilerplateStream:
             .agg(F.sum("n_docs").cast("long").alias("n_docs"))
             .localCheckpoint()
         )
-        for p in self.line_parts:
+        id_folded = (
+            [
+                _union_all(self.id_parts)
+                .groupBy("doc_id")
+                .agg(F.max("_batch").alias("_batch"))
+                .localCheckpoint()
+            ]
+            if self.id_parts else []
+        )
+        for p in self.line_parts + self.id_parts:
             p.unpersist()
         self.line_parts = [folded]
+        self.id_parts = id_folded
         self._parts_since_compact = 0
 
     def line_counts(self) -> DataFrame:
         """Live (host, lh, n_docs) over everything processed so far —
-        merge of the partials, never a re-scan of the page store."""
+        merge of the partials, never a re-scan of the page store.
+        Recrawl retractions can zero a line out entirely — an exact
+        cancellation, filtered like kg_stream's counts."""
         if not self.line_parts:
             raise ValueError("no batches processed yet")
         return (
             _union_all(self.line_parts)
             .groupBy("host", "lh")
             .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+            .filter(F.col("n_docs") > 0)
         )
 
     def template_lines(self, min_docs: int = 5) -> DataFrame:
@@ -140,13 +216,21 @@ class IncrementalBoilerplateStream:
         )
 
     def pages(self, spark: SparkSession) -> DataFrame:
-        """The durable raw-page store (complete parts only)."""
+        """The durable raw-page store (complete parts only); in recrawl
+        mode only each document's latest version."""
         if self.pages_dir is None:
             raise ValueError("stream has no pages_dir")
         names = _part_dirs(self.pages_dir)
         if not names:
             return spark.createDataFrame(
                 [], "doc_id long, host string, text string"
+            )
+        if self.recrawl:
+            return (
+                _parts_with_batch(spark, self.pages_dir)
+                .join(F.broadcast(self.doc_index(spark)),
+                      ["doc_id", "_batch"])
+                .drop("_batch")
             )
         return spark.read.parquet(
             *[os.path.join(self.pages_dir, n) for n in names]

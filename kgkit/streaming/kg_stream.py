@@ -98,6 +98,30 @@ def _part_dirs(triples_dir: str, prefix: str = "batch=") -> List[str]:
     return sorted(names, key=lambda n: int(n.split("=")[1]))
 
 
+def _parts_with_batch(
+    spark: SparkSession,
+    base_dir: str,
+    prefix: str = "batch=",
+    only_ids: Optional[set] = None,
+) -> Optional[DataFrame]:
+    """Durable parts with their batch id as a ``_batch`` column
+    (embedded at write time in recrawl mode; the dir name is the
+    fallback for pre-recrawl parts, read per-dir).  ``only_ids``
+    restricts to the given batch ids."""
+    names = _part_dirs(base_dir, prefix=prefix)
+    if only_ids is not None:
+        names = [n for n in names if int(n.split("=")[1]) in only_ids]
+    frames = []
+    for n in names:
+        df = spark.read.parquet(os.path.join(base_dir, n))
+        if "_batch" not in df.columns:
+            df = df.withColumn(
+                "_batch", F.lit(int(n.split("=")[1])).cast("long")
+            )
+        frames.append(df)
+    return _union_all(frames) if frames else None
+
+
 class IncrementalKGStream:
     """Crawl stream -> incremental triples store + live entity counts."""
 
@@ -216,24 +240,10 @@ class IncrementalKGStream:
     def _store_with_batch(
         self, spark: SparkSession, prefix: str, only_ids: Optional[set] = None
     ) -> DataFrame:
-        """Durable parts with their batch id as a ``_batch`` column
-        (embedded at write time in recrawl mode; the dir name is the
-        fallback for pre-recrawl parts, read per-dir).  ``only_ids``
-        restricts to the given batch ids — resume uses the triples
-        parts' ids so an orphan relbatch part (crash between the two
-        writes) cannot desynchronize the rebuilt counts."""
-        names = _part_dirs(self.triples_dir, prefix=prefix)
-        if only_ids is not None:
-            names = [n for n in names if int(n.split("=")[1]) in only_ids]
-        frames = []
-        for n in names:
-            df = spark.read.parquet(os.path.join(self.triples_dir, n))
-            if "_batch" not in df.columns:
-                df = df.withColumn(
-                    "_batch", F.lit(int(n.split("=")[1])).cast("long")
-                )
-            frames.append(df)
-        return _union_all(frames) if frames else None
+        """See ``_parts_with_batch``; resume passes ``only_ids`` (the
+        triples parts' ids) so an orphan relbatch part (crash between
+        the two writes) cannot desynchronize the rebuilt counts."""
+        return _parts_with_batch(spark, self.triples_dir, prefix, only_ids)
 
     def _retractions(
         self, spark: SparkSession, replaced: DataFrame

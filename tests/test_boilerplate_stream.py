@@ -146,6 +146,90 @@ class TestResume:
             IncrementalBoilerplateStream.resume(spark, str(tmp_path / "nope"))
 
 
+class TestRecrawl:
+    """Supersession: a re-delivered doc_id's old version stops counting
+    toward the template threshold; reads serve latest versions only."""
+
+    def _v1(self, spark):
+        rows = [(i, "h1", f"banner\nbody {i}") for i in range(1, 7)]
+        rows += [(i, "h2", f"other\nbody {i}") for i in (11, 12)]
+        return spark.createDataFrame(rows, DOC_SCHEMA)
+
+    def _v2(self, spark):
+        # recrawl of docs 1-3: the banner line is GONE from the new
+        # versions, pushing h1's banner below min_docs=5
+        return spark.createDataFrame(
+            [(i, "h1", f"body {i} refreshed") for i in (1, 2, 3)],
+            DOC_SCHEMA,
+        )
+
+    def test_retraction_flips_template_decision(self, spark, tmp_path):
+        from kgkit.operators.boilerplate import (
+            host_line_counts,
+            remove_boilerplate_lines,
+        )
+        from kgkit.streaming.boilerplate_stream import (
+            IncrementalBoilerplateStream,
+        )
+
+        v1, v2 = self._v1(spark), self._v2(spark)
+        stm = IncrementalBoilerplateStream(
+            pages_dir=str(tmp_path / "store"), recrawl=True
+        )
+        stm.process_batch(v1, batch_id=0)
+        tpl0 = {(r["host"], r["lh"])
+                for r in stm.template_lines(min_docs=5).collect()}
+        assert len(tpl0) == 1  # h1's banner (6 docs >= 5)
+
+        stm.process_batch(v2, batch_id=1)
+        # latest corpus: docs 1-3 are v2 (no banner) -> banner on 3 docs
+        latest = v1.filter("doc_id > 3").unionByName(v2)
+        assert _rows(stm.line_counts()) == _rows(host_line_counts(latest))
+        assert stm.template_lines(min_docs=5).count() == 0
+        got = _rows(stm.clean_pages(spark, min_docs=5))
+        want = _rows(remove_boilerplate_lines(latest, min_docs=5))
+        assert got == want
+        # nothing is stripped any more — the template decision flipped
+        assert stm.clean_pages(spark, min_docs=5).agg(
+            F.sum("n_removed")).collect()[0][0] == 0
+
+    def test_recrawl_replay_and_resume(self, spark, tmp_path):
+        from kgkit.operators.boilerplate import host_line_counts
+        from kgkit.streaming.boilerplate_stream import (
+            IncrementalBoilerplateStream,
+        )
+
+        v1, v2 = self._v1(spark), self._v2(spark)
+        store = str(tmp_path / "store")
+        stm = IncrementalBoilerplateStream(pages_dir=store, recrawl=True)
+        stm.process_batch(v1, batch_id=0)
+        stm.process_batch(v2, batch_id=1)
+        want = _rows(stm.line_counts())
+        stm.process_batch(v2, batch_id=1)  # replay: no double retraction
+        assert _rows(stm.line_counts()) == want
+
+        stm2 = IncrementalBoilerplateStream.resume(spark, store, recrawl=True)
+        assert stm2._counted_ids == {0, 1}
+        assert _rows(stm2.line_counts()) == want
+        latest = v1.filter("doc_id > 3").unionByName(v2)
+        assert _rows(stm2.pages(spark)) == _rows(latest)
+        # the resumed stream keeps superseding
+        v3 = self._v2(spark).withColumn(
+            "text", F.concat(F.lit("third pass\n"), F.col("text"))
+        )
+        stm2.process_batch(v3, batch_id=2)
+        latest3 = v1.filter("doc_id > 3").unionByName(v3)
+        assert _rows(stm2.line_counts()) == _rows(host_line_counts(latest3))
+
+    def test_recrawl_requires_durable_store(self):
+        from kgkit.streaming.boilerplate_stream import (
+            IncrementalBoilerplateStream,
+        )
+
+        with pytest.raises(ValueError):
+            IncrementalBoilerplateStream(recrawl=True)
+
+
 class TestCompaction:
     def test_parts_fold_and_counts_survive(self, spark, landing_dir):
         from kgkit.operators.boilerplate import host_line_counts
