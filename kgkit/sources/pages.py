@@ -57,6 +57,24 @@ def pages_for_mentions(pages: DataFrame) -> DataFrame:
     return pages.select("url", "text", "lang")
 
 
+def latest_pages(pages: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
+    """One row per url — the LATEST crawl version by ``ts_col``.
+
+    A crawl corpus carries recrawls; the batch pipeline wants each
+    url's newest version (the streaming twin is kg_stream's recrawl
+    supersession, where "latest" is batch order).  One
+    map-side-combined ``max_by`` aggregation over a (ts, row) struct —
+    never a window over full rows by url (the hot-host version of the
+    clean_corpus stage-1 pathology).  Ties on ``ts_col`` break by the
+    largest remaining-struct tuple, deterministically."""
+    others = [c for c in pages.columns if c != "url"]
+    row = F.struct(F.col(ts_col), *[F.col(c) for c in others if c != ts_col])
+    picked = pages.groupBy("url").agg(F.max_by(row, row).alias("_r"))
+    return picked.select(
+        "url", *[F.col(f"_r.{c}") for c in others]
+    )
+
+
 def widen_for_udf(df: DataFrame, waves: int = 2) -> DataFrame:
     """Repartition a NARROW input up to cluster width before a
     CPU-bound python UDF stage — gated on the actual scan width, so at

@@ -248,6 +248,73 @@ class TestRecrawl:
         with pytest.raises(ValueError):
             IncrementalKGStream(embeddings, recrawl=True)
 
+    def test_foreachbatch_recrawl_e2e(self, spark, embeddings, tmp_path):
+        """The wiring end to end: two availableNow passes over a
+        growing landing dir (the second delivers the recrawled
+        versions; the shared checkpoint guarantees they arrive as
+        later batches) — the store then equals batch-over-latest."""
+        from kgkit.streaming.kg_stream import IncrementalKGStream
+
+        a, b, _, a2, _ = self._slices(spark)
+        landing = str(tmp_path / "landing")
+        a.unionByName(b).write.mode("append").parquet(landing)
+
+        stm = IncrementalKGStream(
+            embeddings, triples_dir=str(tmp_path / "store"), recrawl=True
+        )
+
+        def _drain():
+            stream = (
+                spark.readStream
+                .schema("url string, text string, lang string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+            )
+            q = stm.attach(
+                stream,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                trigger_once=True,
+            )
+            q.awaitTermination(300)
+
+        _drain()
+        n_first = len(stm._counted_ids)
+        a2.write.mode("append").parquet(landing)  # the recrawl lands
+        _drain()
+        assert len(stm._counted_ids) > n_first
+
+        latest = self._latest(a.unionByName(b), a2)
+        assert _rows(stm.triples(spark)) == _rows(
+            _batch_triples(spark, latest, embeddings)
+        )
+
+
+class TestLatestPages:
+    def test_max_ts_version_wins(self, spark):
+        from kgkit.sources.pages import latest_pages
+
+        pages = spark.createDataFrame(
+            [
+                ("u1", 1, "old", "en"), ("u1", 3, "new", "en"),
+                ("u1", 2, "mid", "en"), ("u2", 1, "only", "de"),
+            ],
+            "url string, warc_ts int, text string, lang string",
+        )
+        got = {r["url"]: (r["warc_ts"], r["text"], r["lang"])
+               for r in latest_pages(pages).collect()}
+        assert got == {"u1": (3, "new", "en"), "u2": (1, "only", "de")}
+
+    def test_tie_breaks_deterministically(self, spark):
+        from kgkit.sources.pages import latest_pages
+
+        pages = spark.createDataFrame(
+            [("u1", 5, "aa"), ("u1", 5, "zz")],
+            "url string, warc_ts int, text string",
+        )
+        rows_a = latest_pages(pages.repartition(1)).collect()
+        rows_b = latest_pages(pages.repartition(7)).collect()
+        assert rows_a == rows_b and rows_a[0]["text"] == "zz"
+
 
 class TestDurableResume:
     def test_resume_continues_without_source_replay(
