@@ -62,7 +62,7 @@ class TestStreamEqualsBatch:
             checkpoint_dir=str(tmp_path / "ckpt"),
             trigger_once=True,
         )
-        q.awaitTermination(300)
+        q.awaitTermination(900)
         assert len(stm._counted_ids) >= 2  # genuinely multi-batch
 
         batch_docs = spark.read.parquet(landing_dir)

@@ -84,7 +84,7 @@ class TestStreamingEngine:
             checkpoint_dir=str(tmp_path / "ckpt"),
             trigger_once=True,
         )
-        q.awaitTermination(120)
+        q.awaitTermination(900)
         assert set(got) == {(1, 101, 1.0)}
 
 

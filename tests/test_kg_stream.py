@@ -82,7 +82,7 @@ class TestStreamEqualsBatch:
             checkpoint_dir=str(tmp_path / "ckpt"),
             trigger_once=True,
         )
-        q.awaitTermination(300)
+        q.awaitTermination(900)
         assert len(stm._counted_ids) >= 2  # genuinely multi-batch
 
         batch = _batch_triples(
@@ -275,7 +275,7 @@ class TestRecrawl:
                 checkpoint_dir=str(tmp_path / "ckpt"),
                 trigger_once=True,
             )
-            q.awaitTermination(300)
+            q.awaitTermination(900)
 
         _drain()
         n_first = len(stm._counted_ids)
@@ -396,7 +396,7 @@ class TestCrawlToKG:
             checkpoint_dir=str(tmp_path / "ckpt"),
             trigger_once=True,
         )
-        q.awaitTermination(300)
+        q.awaitTermination(900)
         assert len(stm._counted_ids) == 3  # one micro-batch per segment
 
         batch = _batch_triples(spark, warc_pages(spark, segs), emb)

@@ -42,7 +42,7 @@ class TestStreamingMentions:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(900)
 
         # append mode only emits CLOSED windows; compare complete mode instead
         q2 = (
@@ -51,7 +51,7 @@ class TestStreamingMentions:
             .writeStream.format("memory").queryName("tag_totals")
             .outputMode("complete").trigger(availableNow=True).start()
         )
-        q2.awaitTermination(120)
+        q2.awaitTermination(900)
 
         got = {
             r["tag"]: r["count"]
@@ -104,7 +104,7 @@ class TestStatefulSessions:
             .writeStream.format("memory").queryName("sessions")
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(900)
         got = {
             (r["user_id"], r["session_start"], r["session_end"]):
                 (r["n_events"], round(r["total_value"], 4))
