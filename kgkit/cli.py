@@ -123,6 +123,42 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Query the constructed KG of a pipeline run: graph analytics over
+    the stage-4b relation table (entity-graph-sized — none of these
+    touch the corpus).  JSON rows to stdout."""
+    from pyspark.sql import functions as F
+
+    from kgkit.operators.relations import (
+        canonical_predicates,
+        entity_authority,
+        neighborhood,
+    )
+
+    spark = _spark(args.shuffle_partitions)
+    rel = spark.read.parquet(f"{args.run_dir}/stage4b_relations")
+    if args.op == "authority":
+        out = entity_authority(rel, iters=args.iters).orderBy(
+            F.desc("rank_q"), "node"
+        )
+    elif args.op == "neighborhood":
+        if not args.seeds:
+            print("--seeds required for neighborhood", file=sys.stderr)
+            return 2
+        out = neighborhood(
+            rel, args.seeds, k=args.k, directed=args.directed
+        ).orderBy("hops", "entity")
+    elif args.op == "predicates":
+        out = canonical_predicates(rel).orderBy(
+            F.desc("pair_n"), "subj", "obj"
+        )
+    else:  # edges: strongest associations first
+        out = rel.orderBy(F.desc("npmi"), F.desc("n"), "subj", "pred", "obj")
+    for r in out.limit(args.limit).collect():
+        print(json.dumps(r.asDict(), ensure_ascii=False))
+    return 0
+
+
 def cmd_lineage(args) -> int:
     """Results browser: print the `_lineage` rows of a pipeline run
     (the kgkit stand-in for the reference's mlflow UI launcher)."""
@@ -178,6 +214,24 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["greedy", "clusters"])
     p.add_argument("--shuffle-partitions", type=int, default=32)
     p.set_defaults(fn=cmd_clean)
+
+    p = sub.add_parser(
+        "query",
+        help="KG analytics over a pipeline run (edges | authority | "
+             "neighborhood | predicates)",
+    )
+    p.add_argument("run_dir", help="run dir of `run-pipeline`")
+    p.add_argument("--op", default="edges",
+                   choices=["edges", "authority", "neighborhood",
+                            "predicates"])
+    p.add_argument("--seeds", nargs="*", default=[],
+                   help="seed entities (neighborhood)")
+    p.add_argument("--k", type=int, default=2, help="hop cap (neighborhood)")
+    p.add_argument("--directed", action="store_true")
+    p.add_argument("--iters", type=int, default=5, help="PageRank rounds")
+    p.add_argument("--limit", type=int, default=50)
+    p.add_argument("--shuffle-partitions", type=int, default=8)
+    p.set_defaults(fn=cmd_query)
 
     p = sub.add_parser("lineage", help="print a run's _lineage rows")
     p.add_argument("run_dir")

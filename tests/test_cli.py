@@ -42,7 +42,7 @@ class TestParserSurface:
         sub = build_parser()._subparsers._group_actions[0]
         assert set(sub.choices) == {
             "predict", "predict-file", "run-pipeline", "evaluate", "lineage",
-            "clean",
+            "clean", "query",
         }
 
     def test_run_pipeline_requires_pages_and_out(self):
@@ -86,3 +86,62 @@ class TestCleanCommand:
         assert stats["dropped_exact"] == 1          # doc 50
         assert stats["dropped_clf"] >= 1            # doc 51
         assert stats["after_clf"] == spark.read.parquet(dst).count()
+
+
+class TestQueryCommand:
+    def _run_dir(self, spark, tmp_path):
+        rel = spark.createDataFrame(
+            [
+                ("Q1", "is a", "Q2", "isa", 3, 5, 0.5),
+                ("Q1", "uses", "Q2", "action", 2, 5, 0.4),
+                ("Q2", "powers the", "Q3", "action", 4, 4, 1.0),
+                ("Q3", "and the", "Q1", "assoc", 1, 1, -0.2),
+            ],
+            "subj string, pred string, obj string, rel_type string, "
+            "n long, pair_n long, npmi double",
+        )
+        rel.write.parquet(str(tmp_path / "run" / "stage4b_relations"))
+        return str(tmp_path / "run")
+
+    def test_edges_authority_neighborhood_predicates(
+        self, spark, tmp_path, capsys
+    ):
+        from kgkit.cli import main
+
+        run = self._run_dir(spark, tmp_path)
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            assert main(["query", run, "--limit", "2"]) == 0
+            edges = [json.loads(l) for l in
+                     capsys.readouterr().out.strip().splitlines()]
+            assert edges[0]["npmi"] == 1.0  # strongest association first
+
+            assert main(["query", run, "--op", "authority"]) == 0
+            ranks = [json.loads(l) for l in
+                     capsys.readouterr().out.strip().splitlines()]
+            assert {r["node"] for r in ranks} == {"Q1", "Q2", "Q3"}
+            assert all(isinstance(r["rank_q"], int) for r in ranks)
+
+            assert main(["query", run, "--op", "neighborhood",
+                         "--seeds", "Q1", "--k", "1", "--directed"]) == 0
+            hood = {json.loads(l)["entity"]: json.loads(l)["hops"]
+                    for l in capsys.readouterr().out.strip().splitlines()}
+            assert hood == {"Q1": 0, "Q2": 1}
+
+            assert main(["query", run, "--op", "predicates"]) == 0
+            preds = {(p["subj"], p["obj"]): p["pred"] for p in
+                     (json.loads(l) for l in
+                      capsys.readouterr().out.strip().splitlines())}
+            assert preds[("Q1", "Q2")] == "is a"  # n=3 beats n=2
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    def test_neighborhood_requires_seeds(self, spark, tmp_path, capsys):
+        from kgkit.cli import main
+
+        run = self._run_dir(spark, tmp_path)
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            assert main(["query", run, "--op", "neighborhood"]) == 2
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
