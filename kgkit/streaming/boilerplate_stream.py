@@ -237,15 +237,29 @@ class IncrementalBoilerplateStream:
         )
 
     def clean_pages(
-        self, spark: SparkSession, min_docs: int = 5
+        self, spark: SparkSession, min_docs: int = 5, quality: bool = False
     ) -> DataFrame:
         """The boilerplate-stripped corpus under the LIVE statistics:
         the batch operator over the durable store with the merged
         counts injected.  After the stream drains this equals the
-        one-shot ``remove_boilerplate_lines`` row-for-row."""
-        return remove_boilerplate_lines(
+        one-shot ``remove_boilerplate_lines`` row-for-row.
+
+        ``quality=True`` appends the Gopher rule battery's columns
+        (incl. the ``keep`` flag) computed over the STRIPPED text —
+        quality is judged on content, not on chrome the strip already
+        removed.  The battery is one stateless codegen'd projection, so
+        it composes with the retrospective read at scan cost."""
+        cleaned = remove_boilerplate_lines(
             self.pages(spark), min_docs, counts=self.line_counts()
         )
+        if not quality:
+            return cleaned
+        from kgkit.operators.text_quality import gopher_quality
+
+        q = gopher_quality(
+            cleaned.select("doc_id", F.col("clean_text").alias("text"))
+        ).drop("text")
+        return cleaned.join(q, "doc_id")
 
     def attach(
         self,

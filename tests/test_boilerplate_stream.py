@@ -96,6 +96,35 @@ class TestStreamEqualsBatch:
         assert all(r["lh"] is not None for r in tpl)
 
 
+class TestQualityComposition:
+    def test_quality_flags_ride_the_stripped_text(
+        self, spark, landing_dir, tmp_path
+    ):
+        """quality=True == gopher over the separately-stripped corpus —
+        judged on content, not chrome."""
+        from kgkit.operators.boilerplate import remove_boilerplate_lines
+        from kgkit.operators.text_quality import gopher_quality
+        from kgkit.streaming.boilerplate_stream import (
+            IncrementalBoilerplateStream,
+        )
+
+        docs = spark.read.parquet(landing_dir)
+        stm = IncrementalBoilerplateStream(pages_dir=str(tmp_path / "store"))
+        stm.process_batch(docs, batch_id=0)
+        got = stm.clean_pages(spark, min_docs=5, quality=True)
+        assert "keep" in got.columns and "clean_text" in got.columns
+
+        stripped = remove_boilerplate_lines(docs, min_docs=5)
+        want = gopher_quality(
+            stripped.select("doc_id",
+                            F.col("clean_text").alias("text"))
+        )
+        got_keep = {r["doc_id"]: r["keep"] for r in got.collect()}
+        want_keep = {r["doc_id"]: r["keep"] for r in want.collect()}
+        assert got_keep == want_keep
+        assert got.count() == docs.count()  # flag, not filter
+
+
 class TestReplayIdempotence:
     def test_same_batch_id_counts_once(self, spark, landing_dir, tmp_path):
         from kgkit.streaming.boilerplate_stream import (
