@@ -38,6 +38,9 @@ def build_spark(cpus: int, app: str = "kgkit-bench"):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # bound plan-string rendering: composed-pipeline plans are big
+        # and explain/AQE logging must never OOM the driver
+        .config("spark.sql.maxPlanStringLength", "1048576")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )

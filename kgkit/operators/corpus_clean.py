@@ -18,19 +18,41 @@ standard cost gradient (cheapest, highest-yield first):
 Accounting: ``clean_corpus`` returns (cleaned_df, stats) where stats
 carries the per-stage kept/dropped counts.  Counting is one eager
 count per stage boundary — four small jobs on frames the next stage
-consumes anyway (each boundary is persisted, so the count populates
-the cache the next stage reads: the accounting is almost free, and
-silently-lazy accounting that nobody forces is worse than none).
-Intermediate caches are released as soon as the next boundary is
-materialized, mirroring the streaming index discipline."""
+consumes anyway (each boundary is materialized by ``_boundary``, so
+the count reads the checkpointed blocks the next stage also reads:
+the accounting is almost free, and silently-lazy accounting that
+nobody forces is worse than none).  Boundaries are also LINEAGE CUTS
+(see ``_boundary``) so the composed plan stays O(stages), not
+exponential."""
 
 from __future__ import annotations
 
 from typing import Dict, Tuple
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _boundary(df: DataFrame) -> DataFrame:
+    """Materialize a stage boundary AND cut the logical lineage.
+
+    persist() alone leaves the full logical plan in place, and every
+    hygiene stage references its input TWICE (the keep-set aggregate +
+    the join-back), so the composed plan TREE doubles per stage — five
+    stages over a deep upstream lineage (WARC extraction + boilerplate
+    strip) made AQE's plan-string rendering alone OOM a driver
+    (QueryExecution.explainString, seen under test heap pressure), and
+    at 100 TB the same growth bloats driver-side analysis/optimization
+    time.  localCheckpoint is EAGER: it materializes to the block
+    manager exactly like the persist it replaces (the accounting count
+    that follows reads the checkpointed blocks) and replaces the plan
+    with a LogicalRDD leaf, so plan size stays O(stage).  Caveat
+    (documented, same as the streaming indexes): localCheckpoint
+    blocks are executor-local — a lost executor re-fails the job
+    rather than recomputing, acceptable for a single composed batch
+    job; block cleanup is GC-driven (the unpersist() calls below are
+    advisory for the plain-persist case and harmless here)."""
+    return df.localCheckpoint()
 
 
 def keep_min_id(df: DataFrame, key) -> DataFrame:
@@ -96,12 +118,12 @@ def clean_corpus(
             F.concat(F.lit("doc://"), F.col("doc_id")),
         )
         cur = keep_min_id(cur, key)
-    cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+    cur = _boundary(cur)
     stats["after_url_dedup"] = cur.count()
 
     # -- 2. exact dedup ---------------------------------------------------
     prev = cur
-    cur = keep_min_id(cur, F.md5("text")).persist(StorageLevel.MEMORY_AND_DISK)
+    cur = _boundary(keep_min_id(cur, F.md5("text")))
     stats["after_exact_dedup"] = cur.count()
     prev.unpersist()
 
@@ -127,10 +149,7 @@ def clean_corpus(
     # no broadcast hint: the drop list is usually tiny but is NOT
     # bounded (a heavily-mirrored crawl can shed millions of ids) —
     # AQE picks broadcast when the built side is actually small
-    cur = (
-        cur.join(drop, "doc_id", "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    cur = _boundary(cur.join(drop, "doc_id", "left_anti"))
     stats["after_near_dedup"] = cur.count()
     prev.unpersist()
 
@@ -139,11 +158,8 @@ def clean_corpus(
         cur.select("doc_id", "text"), **(quality_kwargs or {})
     ).select("doc_id", "keep")
     prev = cur
-    cur = (
-        cur.join(q, "doc_id")
-        .filter(F.col("keep") == 1)
-        .drop("keep")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cur = _boundary(
+        cur.join(q, "doc_id").filter(F.col("keep") == 1).drop("keep")
     )
     stats["after_quality"] = cur.count()
     prev.unpersist()
@@ -165,10 +181,7 @@ def clean_corpus(
             .select("doc_id")
         )
         prev = cur
-        cur = (
-            cur.join(keep, "doc_id", "left_semi")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        cur = _boundary(cur.join(keep, "doc_id", "left_semi"))
         stats["after_clf"] = cur.count()
         prev.unpersist()
         boundaries.append(("after_quality", "after_clf", "dropped_clf"))

@@ -18,6 +18,13 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("kgkit-tests")
         .config("spark.sql.shuffle.partitions", "4")
+        # composed-pipeline logical plans can be large; bound the
+        # explain/AQE plan-string rendering so plan LOGGING can never
+        # OOM the driver (seen once: AdaptiveSparkPlanExec.onUpdatePlan
+        # -> explainString building a multi-GB string under test heap
+        # pressure).  1 MB is plenty to debug with.
+        .config("spark.sql.maxPlanStringLength", "1048576")
+        .config("spark.driver.memory", "3g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
