@@ -1815,17 +1815,31 @@ ORACLES = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "q3_shipping_priority": """
-        SELECT l.l_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-               o.o_orderdate
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
-        GROUP BY l.l_orderkey, o.o_orderdate
-        ORDER BY revenue DESC, l_orderkey
-        LIMIT 10
+    # DuckDB's NATIVE ASOF LEFT JOIN — an independent algorithm for
+    # the same inclusive point-in-time semantics the Spark operator
+    # (kgkit/operators/asof.py) builds from a union-tag + per-key
+    # window; clicks pre-deduped per (user_id, ts) so the tie rule is
+    # engine-independent; -1 sentinels keep unmatched columns BIGINT
+    "events_asof": """
+        WITH c AS (
+            SELECT user_id, ts, max(event_id) AS event_id
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ), p AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id,
+               p.user_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+               p.value,
+               COALESCE(c.event_id, -1) AS click_event_id,
+               COALESCE(CAST(floor(epoch(c.ts)) AS BIGINT), -1)
+                   AS click_ts_s,
+               COALESCE(CAST(floor(epoch(p.ts)) AS BIGINT)
+                   - CAST(floor(epoch(c.ts)) AS BIGINT), -1) AS gap_s
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     "media_stats": """
         SELECT 'text/html' AS media_type,
