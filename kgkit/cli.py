@@ -126,7 +126,8 @@ def cmd_clean(args) -> int:
 def cmd_query(args) -> int:
     """Query the constructed KG of a pipeline run: graph analytics over
     the stage-4b relation table (entity-graph-sized — none of these
-    touch the corpus).  JSON rows to stdout."""
+    touch the corpus), plus SPARQL-style BGP matching (``--op match``,
+    operators/bgp.py) over either graph table.  JSON rows to stdout."""
     from pyspark.sql import functions as F
 
     from kgkit.operators.relations import (
@@ -152,6 +153,23 @@ def cmd_query(args) -> int:
         out = canonical_predicates(rel).orderBy(
             F.desc("pair_n"), "subj", "obj"
         )
+    elif args.op == "match":
+        from kgkit.operators.bgp import is_var, match_patterns
+
+        if not args.pattern:
+            print("--pattern required for match", file=sys.stderr)
+            return 2
+        pats = [tuple(p) for p in args.pattern]
+        if any(len(p) != 3 for p in pats):
+            print("each --pattern needs exactly s p o", file=sys.stderr)
+            return 2
+        t = (
+            spark.read.parquet(f"{args.run_dir}/stage4_triples")
+            if args.table == "triples"
+            else rel
+        ).select("subj", "pred", "obj")
+        out = match_patterns(t, pats, distinct=True)
+        out = out.orderBy(*sorted(out.columns))
     else:  # edges: strongest associations first
         out = rel.orderBy(F.desc("npmi"), F.desc("n"), "subj", "pred", "obj")
     for r in out.limit(args.limit).collect():
@@ -218,14 +236,21 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser(
         "query",
         help="KG analytics over a pipeline run (edges | authority | "
-             "neighborhood | predicates)",
+             "neighborhood | predicates | match)",
     )
     p.add_argument("run_dir", help="run dir of `run-pipeline`")
     p.add_argument("--op", default="edges",
                    choices=["edges", "authority", "neighborhood",
-                            "predicates"])
+                            "predicates", "match"])
     p.add_argument("--seeds", nargs="*", default=[],
                    help="seed entities (neighborhood)")
+    p.add_argument("--pattern", nargs=3, action="append", default=[],
+                   metavar=("S", "P", "O"),
+                   help="triple pattern, '?name' = variable; repeatable "
+                        "(match — SPARQL-style BGP over the graph)")
+    p.add_argument("--table", default="relations",
+                   choices=["relations", "triples"],
+                   help="graph to match against (match)")
     p.add_argument("--k", type=int, default=2, help="hop cap (neighborhood)")
     p.add_argument("--directed", action="store_true")
     p.add_argument("--iters", type=int, default=5, help="PageRank rounds")

@@ -136,6 +136,31 @@ class TestQueryCommand:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
+    def test_match_bgp(self, spark, tmp_path, capsys):
+        """SPARQL-style BGP over the run's relation graph: a 2-hop
+        chain through ?m, anchored nowhere — the match op wires
+        operators/bgp.py into the CLI."""
+        from kgkit.cli import main
+
+        run = self._run_dir(spark, tmp_path)
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            assert main([
+                "query", run, "--op", "match",
+                "--pattern", "?a", "?p1", "?m",
+                "--pattern", "?m", "powers the", "?b",
+            ]) == 0
+            rows = [json.loads(l) for l in
+                    capsys.readouterr().out.strip().splitlines()]
+            assert {(r["a"], r["m"], r["b"]) for r in rows} == {
+                ("Q1", "Q2", "Q3")
+            }
+            assert {r["p1"] for r in rows} == {"is a", "uses"}
+
+            assert main(["query", run, "--op", "match"]) == 2  # no pattern
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
     def test_neighborhood_requires_seeds(self, spark, tmp_path, capsys):
         from kgkit.cli import main
 
