@@ -177,6 +177,21 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_export_rdf(args) -> int:
+    """Bulk-export a run's graph as gzip N-Triples (the format every
+    triple store loads) — a pure projection, zero shuffle."""
+    from kgkit.sources.rdf import write_ntriples
+
+    spark = _spark(args.shuffle_partitions)
+    table = "stage4_triples" if args.table == "triples" else "stage4b_relations"
+    t = spark.read.parquet(f"{args.run_dir}/{table}").select(
+        "subj", "pred", "obj"
+    )
+    write_ntriples(t, args.output, base=args.base)
+    print(json.dumps({"output": args.output, "table": args.table}))
+    return 0
+
+
 def cmd_lineage(args) -> int:
     """Results browser: print the `_lineage` rows of a pipeline run
     (the kgkit stand-in for the reference's mlflow UI launcher)."""
@@ -257,6 +272,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=50)
     p.add_argument("--shuffle-partitions", type=int, default=8)
     p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser(
+        "export-rdf", help="export a run's graph as gzip N-Triples"
+    )
+    p.add_argument("run_dir", help="run dir of `run-pipeline`")
+    p.add_argument("output", help="output directory (.nt.gz shards)")
+    p.add_argument("--table", default="triples",
+                   choices=["triples", "relations"])
+    p.add_argument("--base", default="http://example.org/kg/",
+                   help="IRI base for minted entity/predicate names")
+    p.add_argument("--shuffle-partitions", type=int, default=8)
+    p.set_defaults(fn=cmd_export_rdf)
 
     p = sub.add_parser("lineage", help="print a run's _lineage rows")
     p.add_argument("run_dir")

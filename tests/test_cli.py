@@ -42,7 +42,7 @@ class TestParserSurface:
         sub = build_parser()._subparsers._group_actions[0]
         assert set(sub.choices) == {
             "predict", "predict-file", "run-pipeline", "evaluate", "lineage",
-            "clean", "query",
+            "clean", "query", "export-rdf",
         }
 
     def test_run_pipeline_requires_pages_and_out(self):
@@ -160,6 +160,30 @@ class TestQueryCommand:
             assert main(["query", run, "--op", "match"]) == 2  # no pattern
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    def test_export_rdf(self, spark, tmp_path, capsys):
+        import gzip
+        import os
+
+        from kgkit.cli import main
+        from kgkit.sources.rdf import parse_ntriples_line
+
+        run = self._run_dir(spark, tmp_path)
+        out = str(tmp_path / "nt")
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            assert main(["export-rdf", run, out, "--table", "relations"]) == 0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        lines = []
+        for f in os.listdir(out):
+            if f.startswith("part-"):
+                with gzip.open(os.path.join(out, f), "rt") as fh:
+                    lines += [l.rstrip("\n") for l in fh]
+        assert len(lines) == 4
+        for l in lines:
+            parse_ntriples_line(l)  # grammatical
+        assert any("powers%20the" in l for l in lines)
 
     def test_neighborhood_requires_seeds(self, spark, tmp_path, capsys):
         from kgkit.cli import main
