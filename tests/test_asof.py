@@ -133,6 +133,22 @@ class TestAsofJoin:
                         tolerance_s=3000).collect()}
         assert bucketed == plain
 
+    def test_empty_sides(self, spark):
+        """No right rows -> every left row survives unmatched; no left
+        rows -> empty output with the full joined schema."""
+        from kgkit.operators.asof import asof_join, asof_join_bucketed
+
+        ldf = _mk(spark, [(1, 0, 100)], "lid long, k long, ts long")
+        rdf = _mk(spark, [], "rid long, k long, ts long, w double")
+        for fn in (asof_join, asof_join_bucketed):
+            rows = fn(ldf, rdf, on="k").collect()
+            assert [(r["lid"], r["r_rid"]) for r in rows] == [(1, None)]
+        l0 = _mk(spark, [], "lid long, k long, ts long")
+        r1 = _mk(spark, [(9, 0, 50, 1.0)], "rid long, k long, ts long, w double")
+        out = asof_join(l0, r1, on="k")
+        assert out.columns == ["lid", "k", "ts", "r_rid", "r_ts", "r_w"]
+        assert out.count() == 0
+
     def test_timestamp_columns(self, spark):
         """Timestamp-typed ts: the events-table shape the registry
         query runs — exercised end to end through the operator."""
