@@ -153,6 +153,14 @@ def cmd_query(args) -> int:
         out = canonical_predicates(rel).orderBy(
             F.desc("pair_n"), "subj", "obj"
         )
+    elif args.op == "stats":
+        from kgkit.operators.linkgraph import graph_stats
+
+        st = graph_stats(
+            rel.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        )
+        print(json.dumps(st))
+        return 0
     elif args.op == "match":
         from kgkit.operators.bgp import is_var, match_patterns
 
@@ -251,12 +259,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser(
         "query",
         help="KG analytics over a pipeline run (edges | authority | "
-             "neighborhood | predicates | match)",
+             "neighborhood | predicates | match | stats)",
     )
     p.add_argument("run_dir", help="run dir of `run-pipeline`")
     p.add_argument("--op", default="edges",
                    choices=["edges", "authority", "neighborhood",
-                            "predicates", "match"])
+                            "predicates", "match", "stats"])
     p.add_argument("--seeds", nargs="*", default=[],
                    help="seed entities (neighborhood)")
     p.add_argument("--pattern", nargs=3, action="append", default=[],

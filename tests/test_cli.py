@@ -161,6 +161,21 @@ class TestQueryCommand:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
+    def test_stats(self, spark, tmp_path, capsys):
+        from kgkit.cli import main
+
+        run = self._run_dir(spark, tmp_path)
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            assert main(["query", run, "--op", "stats"]) == 0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # Q1-Q2-Q3 closes a triangle (Q3->Q1 edge); 4 directed edges
+        # collapse to 3 undirected
+        assert st == {"nodes": 3, "edges": 3, "triangles": 1,
+                      "wedges": 3, "global_clustering": 1.0}
+
     def test_export_rdf(self, spark, tmp_path, capsys):
         import gzip
         import os
