@@ -124,7 +124,7 @@ def write_ntriples(
 # ---------------------------------------------------------------------------
 
 def iri_py(value: str, base: str = DEFAULT_BASE) -> str:
-    body = "".join(ch for ch in value if ch >= " " or ch in "")
+    body = "".join(ch for ch in value if ch >= " ")  # strip all C0
     for a, b in _IRI_ENC:
         body = body.replace(a, b)
     if not re.match(_SCHEME_RE, value):
@@ -136,7 +136,8 @@ def literal_py(value: str) -> str:
     body = value
     for a, b in _LIT_ENC:
         body = body.replace(a, b)
-    body = "".join(ch for ch in body if ch >= " " or ch in "\\")
+    # \n\r\t are already two-char escapes; strip the remaining C0
+    body = "".join(ch for ch in body if ch >= " ")
     return f'"{body}"'
 
 
