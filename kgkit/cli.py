@@ -137,9 +137,15 @@ def cmd_query(args) -> int:
     )
 
     spark = _spark(args.shuffle_partitions)
-    rel = spark.read.parquet(f"{args.run_dir}/stage4b_relations")
+
+    # read only the table the op needs: a resumable run may hold
+    # stage4_triples without stage4b_relations (or vice versa), and
+    # parquet schema inference raises at read time
+    def rel():
+        return spark.read.parquet(f"{args.run_dir}/stage4b_relations")
+
     if args.op == "authority":
-        out = entity_authority(rel, iters=args.iters).orderBy(
+        out = entity_authority(rel(), iters=args.iters).orderBy(
             F.desc("rank_q"), "node"
         )
     elif args.op == "neighborhood":
@@ -147,22 +153,23 @@ def cmd_query(args) -> int:
             print("--seeds required for neighborhood", file=sys.stderr)
             return 2
         out = neighborhood(
-            rel, args.seeds, k=args.k, directed=args.directed
+            rel(), args.seeds, k=args.k, directed=args.directed
         ).orderBy("hops", "entity")
     elif args.op == "predicates":
-        out = canonical_predicates(rel).orderBy(
+        out = canonical_predicates(rel()).orderBy(
             F.desc("pair_n"), "subj", "obj"
         )
     elif args.op == "stats":
         from kgkit.operators.linkgraph import graph_stats
 
         st = graph_stats(
-            rel.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            rel().select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst"))
         )
         print(json.dumps(st))
         return 0
     elif args.op == "match":
-        from kgkit.operators.bgp import is_var, match_patterns
+        from kgkit.operators.bgp import match_patterns
 
         if not args.pattern:
             print("--pattern required for match", file=sys.stderr)
@@ -174,12 +181,18 @@ def cmd_query(args) -> int:
         t = (
             spark.read.parquet(f"{args.run_dir}/stage4_triples")
             if args.table == "triples"
-            else rel
+            else rel()
         ).select("subj", "pred", "obj")
         out = match_patterns(t, pats, distinct=True)
+        if not out.columns:
+            # fully-constant BGP: a SPARQL ASK — answer existence
+            print(json.dumps({"matched": not out.isEmpty()}))
+            return 0
         out = out.orderBy(*sorted(out.columns))
     else:  # edges: strongest associations first
-        out = rel.orderBy(F.desc("npmi"), F.desc("n"), "subj", "pred", "obj")
+        out = rel().orderBy(
+            F.desc("npmi"), F.desc("n"), "subj", "pred", "obj"
+        )
     for r in out.limit(args.limit).collect():
         print(json.dumps(r.asDict(), ensure_ascii=False))
     return 0

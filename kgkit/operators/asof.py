@@ -168,15 +168,19 @@ def asof_join_bucketed(
     within = u.withColumn("_mw", F.last("_rpay", ignorenulls=True).over(wb))
 
     # per-(key, bucket) summary: the bucket's LAST right row, as a max
-    # over (epoch, tie-break payload) — lexicographic struct max is a
-    # plain aggregate, so the hot key combines map-side
+    # over (FULL-precision ts, tie-break payload) — the integer epoch
+    # is only the bucket ASSIGNMENT; ordering by it would truncate
+    # sub-second timestamps and pick a different row than the plain
+    # window's full-precision order (a real divergence caught in
+    # review).  Lexicographic struct max is a plain aggregate, so the
+    # hot key combines map-side.
     rsum = (
         u.filter(F.col("_is_l") == 0)
         .groupBy("_k", "_b")
         .agg(
             F.max(
                 F.struct(
-                    _epoch(F.col("_ts"), ts_type).alias("e"),
+                    F.col("_ts").alias("t"),
                     F.col("_rpay").alias("p"),
                 )
             ).alias("_mx")

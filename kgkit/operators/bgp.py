@@ -75,8 +75,12 @@ def _compile_one(triples: DataFrame, p: Pattern, i: int) -> DataFrame:
         else:
             seen[term[1:]] = col
             cols.append(F.col(col).alias(term[1:]))
-    if not cols:  # fully-constant pattern: an existence assertion
-        return df.limit(1).select(F.lit(1).alias(f"_const{i}"))
+    if not cols:
+        # fully-constant pattern: binds no variables but, under the
+        # SPARQL bag semantics the SQL twin implements, contributes
+        # its SUPPORT MULTIPLICITY (one row per matching triple) —
+        # a limit(1) here would silently collapse duplicate support
+        return df.select(F.lit(1).alias(f"_const{i}"))
     return df.select(*cols)
 
 

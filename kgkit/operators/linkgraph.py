@@ -338,18 +338,12 @@ def _undirected_simple(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """(node, n_triangles) over the undirected simple graph — the
-    degree-oriented (node-iterator++) formulation, the one that scales:
-    every edge is oriented from its lower-(degree, id) endpoint to the
-    higher, turning the graph into a DAG whose out-degrees are
-    O(sqrt(m)); wedges are then built only at the orientation source,
-    so total wedge work is O(m^1.5) REGARDLESS of hub skew — a celebrity
-    node's million neighbors never meet pairwise at the celebrity,
-    because almost all its edges orient AWAY from it.  Three
-    equi-joins, no window, no cartesian (plan-pinned).  Nodes in no
-    triangle are absent (left-join with 0 at the caller if needed)."""
-    und = _undirected_simple(edges)
+def _triangles_from_und(und: DataFrame) -> DataFrame:
+    """Per-node triangle counts from a distinct (a, b) a<b edge set.
+    ``ranked`` (the degree-oriented DAG) is consumed THREE times (both
+    wedge arms + the closing-edge probe), so it is eagerly
+    localCheckpointed — the multi-branch fan-out discipline; it is
+    edge-set sized, orders of magnitude below any corpus."""
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -366,6 +360,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
         .select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+        .localCheckpoint()
     )
     o1 = ranked.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     o2 = ranked.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
@@ -386,28 +381,47 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles) over the undirected simple graph — the
+    degree-oriented (node-iterator++) formulation, the one that scales:
+    every edge is oriented from its lower-(degree, id) endpoint to the
+    higher, turning the graph into a DAG whose out-degrees are
+    O(sqrt(m)); wedges are then built only at the orientation source,
+    so total wedge work is O(m^1.5) REGARDLESS of hub skew — a celebrity
+    node's million neighbors never meet pairwise at the celebrity,
+    because almost all its edges orient AWAY from it.  Three
+    equi-joins, no window, no cartesian (plan-pinned).  Nodes in no
+    triangle are absent (left-join with 0 at the caller if needed)."""
+    return _triangles_from_und(_undirected_simple(edges))
+
+
 def graph_stats(edges: DataFrame) -> dict:
     """Global shape summary of a graph (host graph or entity graph):
     nodes, undirected simple edges, triangles, wedges (open+closed
     2-paths), and the global clustering coefficient 3T/W — one
     driver-side dict of aggregates (everything underneath is
-    distributed; only scalars collect)."""
-    und = _undirected_simple(edges)
-    sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    distributed; only scalars collect).  The deduped edge set feeds
+    BOTH the degree aggregate and the triangle pass, so it is
+    materialized once (eager localCheckpoint — the fan-out
+    discipline); coalesce keeps an empty graph at integer zeros, not
+    JSON nulls."""
+    und = _undirected_simple(edges).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
     agg = deg.agg(
         F.count(F.lit(1)).alias("nodes"),
-        (F.sum("d") / 2).cast("long").alias("edges"),
-        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("wedges"),
+        F.coalesce((F.sum("d") / 2).cast("long"), F.lit(0)).alias("edges"),
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) / 2")).cast("long"), F.lit(0)
+        ).alias("wedges"),
     ).collect()[0]
     n_tri = (
-        triangle_count(
-            und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        ).agg(F.sum("n_triangles")).collect()[0][0] or 0
+        _triangles_from_und(und).agg(F.sum("n_triangles")).collect()[0][0]
+        or 0
     ) // 3
-    sym.unpersist()
     cc = (3.0 * n_tri / agg["wedges"]) if agg["wedges"] else 0.0
     return {
         "nodes": agg["nodes"], "edges": agg["edges"],

@@ -42,10 +42,18 @@ from pyspark.sql import functions as F
 
 DEFAULT_BASE = "http://example.org/kg/"
 
-# characters invalid inside <IRI>: %-encode, % FIRST (no double-encode)
-_IRI_ENC = [("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"),
+# characters invalid inside <IRI>: %-encoded.  Two tables: a KEPT
+# (scheme-bearing) URL is already an IRI whose '%' sequences are its
+# own percent-encoding — re-encoding '%' would rewrite
+# 'https://x/a%20b' into the DIFFERENT resource '<https://x/a%2520b>'
+# (% is legal inside IRIREF); only the genuinely-forbidden characters
+# are sanitized.  A MINTED local name is arbitrary text, so there '%'
+# IS encoded (% first — nothing double-encodes) and the minting stays
+# injective/decodable.
+_IRI_SAN = [(" ", "%20"), ("<", "%3C"), (">", "%3E"),
             ('"', "%22"), ("{", "%7B"), ("}", "%7D"), ("|", "%7C"),
             ("^", "%5E"), ("`", "%60"), ("\\", "%5C")]
+_IRI_ENC = [("%", "%25")] + _IRI_SAN
 # ECHAR escapes for literals: backslash FIRST
 _LIT_ENC = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"),
             ("\t", "\\t")]
@@ -61,14 +69,12 @@ def _chain(col: Column, table) -> Column:
 
 def iri_col(value: Column, base: str = DEFAULT_BASE) -> Column:
     """``<...>`` IRI term: keep-and-sanitize if the value already has a
-    scheme, else mint under ``base``."""
-    cleaned = _chain(
-        F.regexp_replace(value, f"[{re.escape(_CONTROLS)}\n\r\t]", ""),
-        _IRI_ENC,
-    )
+    scheme (its own %-sequences untouched), else mint under ``base``
+    with full (injective) percent-encoding."""
+    stripped = F.regexp_replace(value, f"[{re.escape(_CONTROLS)}\n\r\t]", "")
     iri = F.when(
-        value.rlike(_SCHEME_RE), cleaned
-    ).otherwise(F.concat(F.lit(base), cleaned))
+        value.rlike(_SCHEME_RE), _chain(stripped, _IRI_SAN)
+    ).otherwise(F.concat(F.lit(base), _chain(stripped, _IRI_ENC)))
     return F.concat(F.lit("<"), iri, F.lit(">"))
 
 
@@ -125,11 +131,10 @@ def write_ntriples(
 
 def iri_py(value: str, base: str = DEFAULT_BASE) -> str:
     body = "".join(ch for ch in value if ch >= " ")  # strip all C0
-    for a, b in _IRI_ENC:
+    kept = bool(re.match(_SCHEME_RE, value))
+    for a, b in (_IRI_SAN if kept else _IRI_ENC):
         body = body.replace(a, b)
-    if not re.match(_SCHEME_RE, value):
-        body = base + body
-    return f"<{body}>"
+    return f"<{body}>" if kept else f"<{base}{body}>"
 
 
 def literal_py(value: str) -> str:
@@ -155,15 +160,20 @@ _LINE_RE = re.compile(
 )
 
 
-def parse_ntriples_line(line: str):
-    """Independent grammar check + decode: (s, p, o, is_literal) with
-    percent/ECHAR decoding undone — the round-trip half of the test."""
+def parse_ntriples_line(line: str, base: str = DEFAULT_BASE):
+    """Independent grammar check + decode: (s, p, o, is_literal).
+    MINTED names (under ``base``) decode exactly — their encoding is
+    injective; a KEPT URL comes back as-is (sanitized form) because
+    its own %-sequences are indistinguishable from encoding."""
     m = _LINE_RE.match(line)
     if not m:
         raise ValueError(f"not a valid N-Triples line: {line!r}")
     s, p, ot = m.groups()
 
     def _deciri(x: str) -> str:
+        if not x.startswith(base):
+            return x  # kept URL: sanitized-only, not decodable
+        x = x[len(base):]
         for a, b in reversed(_IRI_ENC):
             x = x.replace(b, a)
         return x

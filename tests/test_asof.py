@@ -133,6 +133,28 @@ class TestAsofJoin:
                         tolerance_s=3000).collect()}
         assert bucketed == plain
 
+    def test_bucketed_subsecond_timestamps_equal_plain(self, spark):
+        """Two right rows in the same integer second but different
+        sub-second instants: the carry-in summary must order by the
+        FULL-precision ts, not the bucket epoch (regression — the
+        epoch-ordered summary picked the earlier row by payload
+        tie-break)."""
+        from kgkit.operators.asof import asof_join, asof_join_bucketed
+
+        ev = spark.createDataFrame(
+            [(1, 0, "2024-01-01 00:01:00.500")], "lid long, k long, s string"
+        ).select("lid", "k", F.col("s").cast("timestamp").alias("ts"))
+        st = spark.createDataFrame(
+            [(9, 0, "2024-01-01 00:00:00.200"),
+             (3, 0, "2024-01-01 00:00:00.800")],
+            "rid long, k long, s string",
+        ).select("rid", "k", F.col("s").cast("timestamp").alias("ts"))
+        plain = asof_join(ev, st, on="k").collect()[0]["r_rid"]
+        bucketed = asof_join_bucketed(
+            ev, st, on="k", bucket_s=30
+        ).collect()[0]["r_rid"]
+        assert plain == bucketed == 3
+
     def test_empty_sides(self, spark):
         """No right rows -> every left row survives unmatched; no left
         rows -> empty output with the full joined schema."""

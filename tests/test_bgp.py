@@ -35,6 +35,7 @@ def _graph(n=400, seed=7):
         ("e1", "cites", "e2"),                                  # e1 subject
         ("e9", "typed", "e2"), ("e10", "typed", "e4"),          # disconnected
         ("e11", "knows", "e3"), ("e11", "cites", "e12"),        # anchor+fan
+        ("e6", "knows", "e7"),  # duplicate support for the constant BGP
     ]
     return rows
 
@@ -56,6 +57,9 @@ BGPS = [
     [("e1", "?p", "?o")],
     # disconnected components (genuine cartesian per SPARQL)
     [("?a", "typed", "e2"), ("?b", "typed", "e4")],
+    # fully-constant pattern: contributes its support MULTIPLICITY
+    # (the e6-knows-e7 triple is planted twice) under bag semantics
+    [("e6", "knows", "e7"), ("?a", "typed", "e2")],
 ]
 
 

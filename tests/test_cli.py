@@ -200,6 +200,40 @@ class TestQueryCommand:
             parse_ntriples_line(l)  # grammatical
         assert any("powers%20the" in l for l in lines)
 
+    def test_match_triples_only_run_and_ask(self, spark, tmp_path, capsys):
+        """A resumable run may hold stage4_triples WITHOUT the
+        relations table — --table triples must not touch it; a
+        fully-constant BGP answers as a SPARQL ASK."""
+        from kgkit.cli import main
+
+        t = spark.createDataFrame(
+            [("d1", "mentions", "Q1"), ("d1", "mentions", "Q2")],
+            "subj string, pred string, obj string",
+        )
+        run = str(tmp_path / "run2")
+        t.write.parquet(f"{run}/stage4_triples")  # no stage4b_relations
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            assert main(["query", run, "--op", "match", "--table", "triples",
+                         "--pattern", "d1", "mentions", "?x"]) == 0
+            rows = {json.loads(l)["x"] for l in
+                    capsys.readouterr().out.strip().splitlines()}
+            assert rows == {"Q1", "Q2"}
+
+            assert main(["query", run, "--op", "match", "--table", "triples",
+                         "--pattern", "d1", "mentions", "Q1"]) == 0
+            assert json.loads(
+                capsys.readouterr().out.strip()
+            ) == {"matched": True}
+
+            assert main(["query", run, "--op", "match", "--table", "triples",
+                         "--pattern", "d9", "mentions", "Q1"]) == 0
+            assert json.loads(
+                capsys.readouterr().out.strip()
+            ) == {"matched": False}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
     def test_neighborhood_requires_seeds(self, spark, tmp_path, capsys):
         from kgkit.cli import main
 

@@ -93,6 +93,17 @@ class TestTriangles:
         st = graph_stats(star)
         assert st["wedges"] == 200 * 199 // 2 and st["triangles"] == 0
 
+    def test_empty_graph_yields_integer_zeros(self, spark):
+        """No JSON nulls on an empty edge set — sum() over zero rows
+        is SQL NULL and must be coalesced."""
+        from kgkit.operators.linkgraph import graph_stats
+
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert graph_stats(empty) == {
+            "nodes": 0, "edges": 0, "triangles": 0, "wedges": 0,
+            "global_clustering": 0.0,
+        }
+
     def test_plan_has_no_cartesian_or_window(self, spark):
         from kgkit.operators.linkgraph import triangle_count
 

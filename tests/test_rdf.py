@@ -21,6 +21,8 @@ NASTY = [
     ("", "empty-subject", ""),
     ("http://site.example.com:8080/p?q=1&r=2", "cites",
      "https://other.example.net/x y"),
+    # a crawled URL's own percent-encoding must survive byte-identical
+    ("https://ex.example.org/a%20b?q=r%2Fs", "cites", "Q1"),
     ("ctrl\x01char", "be\x02ll", "nu\x1fll"),
 ]
 
@@ -47,19 +49,43 @@ class TestNTriples:
             parse_ntriples_line(line)  # raises on grammar violation
 
     def test_roundtrip_decodes_to_input(self, lines):
-        """Percent/ECHAR decoding undoes the encoding exactly; the only
-        lossy step is C0-control stripping (documented)."""
-        from kgkit.sources.rdf import DEFAULT_BASE, parse_ntriples_line
+        """MINTED names decode back exactly (their encoding is
+        injective); KEPT URLs come back in sanitized form — their own
+        %-sequences untouched.  The only lossy steps are C0 stripping
+        and kept-URL sanitization of genuinely-forbidden characters
+        (both documented)."""
+        import re
+
+        from kgkit.sources.rdf import (
+            _IRI_SAN,
+            _SCHEME_RE,
+            parse_ntriples_line,
+        )
 
         strip = lambda s: "".join(ch for ch in s if ch >= " ")  # noqa: E731
 
-        def unmint(x):
-            return x[len(DEFAULT_BASE):] if x.startswith(DEFAULT_BASE) else x
+        def expect(term):
+            t = strip(term)
+            if re.match(_SCHEME_RE, term):
+                for a, b in _IRI_SAN:
+                    t = t.replace(a, b)
+            return t
 
-        got = {tuple(unmint(t) for t in parse_ntriples_line(l)[:3])
-               for l in lines}
-        want = {tuple(strip(t) for t in row) for row in NASTY}
+        got = {parse_ntriples_line(l)[:3] for l in lines}
+        want = {tuple(expect(t) for t in row) for row in NASTY}
         assert got == want
+
+    def test_kept_url_percent_is_byte_identical(self, lines):
+        """'https://ex.example.org/a%20b?q=r%2Fs' names a resource; the
+        exported IRI must be that exact byte string, not a
+        double-encoded %2520 variant."""
+        kept = [l for l in lines if "ex.example.org" in l]
+        assert kept and "<https://ex.example.org/a%20b?q=r%2Fs>" in kept[0]
+        assert "%2520" not in kept[0]  # no double-encoding of kept URLs
+        # MINTED names still encode '%' (injective, decodable): the
+        # minted local name 'a%20b' must become a%2520b
+        minted = [l for l in lines if "pct" in l]
+        assert minted and "a%2520b" in minted[0]
 
     def test_literal_objects(self, spark):
         from kgkit.sources.rdf import ntriples_lines, parse_ntriples_line
@@ -78,11 +104,7 @@ class TestNTriples:
         line grammatical, and the decoded graph equals the source
         table exactly (urls keep their scheme, entities mint)."""
         from kgkit.queries import QUERIES
-        from kgkit.sources.rdf import (
-            DEFAULT_BASE,
-            parse_ntriples_line,
-            write_ntriples,
-        )
+        from kgkit.sources.rdf import parse_ntriples_line, write_ntriples
 
         t = (
             QUERIES["kg_triples"](spark, "/root/testdata/sf0.001")
@@ -99,13 +121,7 @@ class TestNTriples:
                 for line in fh:
                     s, p, o, is_lit = parse_ntriples_line(line.rstrip("\n"))
                     assert not is_lit
-                    decoded.add(
-                        tuple(
-                            x[len(DEFAULT_BASE):]
-                            if x.startswith(DEFAULT_BASE) else x
-                            for x in (s, p, o)
-                        )
-                    )
+                    decoded.add((s, p, o))  # parser unmints minted names
         want = {(r["subj"], r["pred"], r["obj"])
                 for r in t.distinct().collect()}
         assert decoded == want and decoded
