@@ -206,3 +206,71 @@ def asof_join_bucketed(
     if tolerance_s is not None:
         matched = _apply_tolerance(matched, right_ts, tolerance_s)
     return _emit(matched, rpay, prefix)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_ts: str = "start",
+    end_ts: str = "end",
+    on: Optional[str] = None,
+    bucket_s: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join — the other temporal join
+    Spark SQL only plans as a per-key loop: match each point row to
+    every interval row with ``start <= point_ts <= end`` (optionally
+    also sharing ``on``).  A raw theta-join is O(|points| x
+    |intervals|) per key; this is the standard bucketed formulation:
+    each interval EXPLODES to the time buckets it covers (``sequence``
+    over floor(epoch/bucket_s) — bounded by span/bucket_s rows), each
+    point lives in exactly ONE bucket, and the candidate join is a
+    plain equi-join on (key?, bucket) followed by the exact range
+    filter.  No dedup is needed — a point's single bucket meets each
+    covering interval exactly once.  ``bucket_s`` trades interval
+    fan-out against candidate density; a production table of
+    day-scale sessions uses hour buckets.
+
+    ``how='left'`` keeps unmatched points with NULL interval columns
+    (the enrichment shape).  Interval columns come back as-is — rename
+    upstream on collision with point columns."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    p_ts_t = points.schema[point_ts].dataType
+    i_ts_t = intervals.schema[start_ts].dataType
+    pb = F.floor(_epoch(F.col(point_ts), p_ts_t) / F.lit(bucket_s))
+    ib = F.explode(
+        F.sequence(
+            F.floor(_epoch(F.col(start_ts), i_ts_t) / F.lit(bucket_s)),
+            F.floor(_epoch(F.col(end_ts), i_ts_t) / F.lit(bucket_s)),
+        )
+    )
+    pt = points.withColumn("_b", pb)
+    iv = (
+        intervals.filter(F.col(start_ts) <= F.col(end_ts))
+        .withColumn("_b", ib)
+    )
+    keys = ["_b"] + ([on] if on else [])
+    cond = (F.col(point_ts) >= F.col(start_ts)) & (
+        F.col(point_ts) <= F.col(end_ts)
+    )
+    if how == "inner":
+        return pt.join(iv, keys).filter(cond).drop("_b")
+    # left: inner-match the candidates, then re-attach the unmatched
+    # points via anti-join on the point's own columns — both sides
+    # shuffle on the SAME (key, bucket), no second scan shape
+    matched = pt.join(iv, keys).filter(cond)
+    null_iv = [
+        F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+        for c in intervals.columns
+        if c != on
+    ]
+    unmatched = pt.join(
+        matched.select(*points.columns).distinct(),
+        points.columns,
+        "left_anti",
+    ).select(*points.columns, F.col("_b"), *null_iv)
+    return matched.unionByName(
+        unmatched.select(*matched.columns)
+    ).drop("_b")
