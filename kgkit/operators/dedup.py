@@ -35,6 +35,8 @@ corpus x corpus again.
 
 from __future__ import annotations
 
+from typing import Tuple
+
 
 
 from pyspark.sql import DataFrame
@@ -525,3 +527,52 @@ def substring_dup_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/test overlap removal)
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+) -> Tuple[DataFrame, DataFrame]:
+    """Remove training documents that overlap an evaluation benchmark —
+    the GPT-3-style n-gram decontamination every serious pretraining
+    corpus runs (13-gram exact-substring overlap is the published
+    convention; lowering ``n`` tightens, ``min_hits`` requires that
+    many distinct contaminated n-grams before a doc drops).
+
+    Returns (clean_corpus, contamination_report) where the report is
+    (doc_id, n_hits, example) — one row per DROPPED doc with a sample
+    offending n-gram, because a decontamination pass that cannot show
+    WHY it dropped a document is unauditable.
+
+    Scale shape: benchmark suites are small (10^4-10^6 n-grams), so
+    their distinct shingle set BROADCASTS; the corpus-side n-gram
+    stream (one explode in the scan projection) inner-joins it
+    map-side — no shuffle of corpus text, cost = one corpus scan, the
+    same budget as the quality battery.  Both frames use the shared
+    ``with_shingles`` word-n-gram normalization, so the oracle CTEs
+    replay it verbatim (tests/test_decontaminate.py)."""
+    bench_sh = (
+        with_shingles(benchmarks.select("doc_id", "text"), n=n)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+    )
+    corpus_sh = with_shingles(corpus.select("doc_id", "text"), n=n).select(
+        "doc_id", F.explode("sh").alias("sh")
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("sh").alias("example"),
+        )
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    clean = corpus.join(hits.select("doc_id"), "doc_id", "left_anti")
+    return clean, hits
