@@ -111,11 +111,16 @@ def cmd_clean(args) -> int:
                else QualityClassifier.load(args.clf))
     spark = _spark(args.shuffle_partitions)
     docs = spark.read.parquet(args.input)
+    bench = (
+        spark.read.parquet(args.benchmarks) if args.benchmarks else None
+    )
     cleaned, stats = clean_corpus(
         docs,
         near_dup_threshold=args.near_dup_threshold,
         near_dup_strategy=args.near_dup_strategy,
         quality_clf=clf,
+        benchmarks=bench,
+        decontaminate_n=args.decontaminate_n,
     )
     cleaned.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"input": args.input, "output": args.output,
@@ -266,6 +271,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument("--near-dup-strategy", default="greedy",
                    choices=["greedy", "clusters"])
+    p.add_argument("--benchmarks", default=None,
+                   help="parquet of (doc_id, text) eval items — adds "
+                        "n-gram decontamination as the final stage")
+    p.add_argument("--decontaminate-n", type=int, default=13)
     p.add_argument("--shuffle-partitions", type=int, default=32)
     p.set_defaults(fn=cmd_clean)
 

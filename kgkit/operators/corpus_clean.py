@@ -80,6 +80,8 @@ def clean_corpus(
     quality_kwargs: dict = None,
     near_dup_strategy: str = "greedy",
     quality_clf=None,
+    benchmarks: DataFrame = None,
+    decontaminate_n: int = 13,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """docs(doc_id, url?, text) -> (cleaned docs, per-stage stats).
 
@@ -95,7 +97,13 @@ def clean_corpus(
     ``quality_clf.QualityClassifier`` — adds a fifth stage (the CCNet
     composition: dedup -> rules -> trained model) that keeps docs the
     model scores positive; same plan budget as stage 4 (a broadcast
-    weight join + one groupBy inside the scorer, then a doc_id join)."""
+    weight join + one groupBy inside the scorer, then a doc_id join).
+
+    ``benchmarks``: an optional (doc_id, text) evaluation suite — adds
+    benchmark decontamination as the LAST stage (the published n-gram
+    convention, ``decontaminate_n``-grams; dedup.decontaminate):
+    overlap is judged on exactly the text that ships.  Broadcast-only,
+    one extra corpus scan."""
     from kgkit.operators.dedup import minhash_near_dups
     from kgkit.operators.text_quality import gopher_quality
 
@@ -185,6 +193,24 @@ def clean_corpus(
         stats["after_clf"] = cur.count()
         prev.unpersist()
         boundaries.append(("after_quality", "after_clf", "dropped_clf"))
+
+    # -- 6. benchmark decontamination (optional, LAST: eval overlap
+    #       must be judged on the text that will actually ship) -------
+    if benchmarks is not None:
+        from kgkit.operators.dedup import decontaminate
+
+        prev = cur
+        cleaned, _report = decontaminate(
+            cur.select("doc_id", "text"), benchmarks, n=decontaminate_n
+        )
+        cur = _boundary(cur.join(cleaned.select("doc_id"), "doc_id",
+                                 "left_semi"))
+        last = boundaries[-1][1]
+        stats["after_decontamination"] = cur.count()
+        prev.unpersist()
+        boundaries.append(
+            (last, "after_decontamination", "dropped_contaminated")
+        )
 
     for a, b, key in boundaries:
         stats[key] = stats[a] - stats[b]

@@ -94,6 +94,22 @@ class TestDecontaminate:
         _, strict = decontaminate(docs, bench, n=N, min_hits=10**6)
         assert strict.count() == 0 and loose.count() > 0
 
+    def test_clean_corpus_composition(self, spark, fixture):
+        """Stage 6 of clean_corpus: decontamination runs LAST (on the
+        text that ships), accounting stays conserved, and the planted
+        victims vanish from the cleaned output."""
+        from kgkit.operators.corpus_clean import clean_corpus
+
+        docs, bench, _ = fixture
+        cleaned, stats = clean_corpus(
+            docs, url_col=None, benchmarks=bench, decontaminate_n=N
+        )
+        dropped = sum(v for k, v in stats.items() if k.startswith("dropped"))
+        assert stats["input"] == stats["after_decontamination"] + dropped
+        assert stats["dropped_contaminated"] >= 1
+        kept = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+        assert 3 not in kept and 17 not in kept
+
     def test_plan_is_broadcast_only(self, spark, fixture):
         """The corpus n-gram stream must never shuffle: the benchmark
         shingle set broadcasts and the only wide op is the doc_id
