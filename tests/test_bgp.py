@@ -60,6 +60,12 @@ BGPS = [
     # fully-constant pattern: contributes its support MULTIPLICITY
     # (the e6-knows-e7 triple is planted twice) under bag semantics
     [("e6", "knows", "e7"), ("?a", "typed", "e2")],
+    # join on a PREDICATE variable across patterns
+    [("?a", "?p", "?b"), ("?c", "?p", "?d")],
+    # chain sharing both the node and the predicate variable
+    [("?a", "?p", "?b"), ("?b", "?p", "?c")],
+    # repeated variable within a pattern, then joined out
+    [("?x", "?p", "?x"), ("?x", "typed", "?t")],
 ]
 
 
