@@ -259,18 +259,26 @@ def interval_join(
         return pt.join(iv, keys).filter(cond).drop("_b")
     # left: inner-match the candidates, then re-attach the unmatched
     # points via anti-join on the point's own columns — both sides
-    # shuffle on the SAME (key, bucket), no second scan shape
+    # shuffle on the SAME (key, bucket), no second scan shape.  The
+    # anti-join must be NULL-SAFE: a matched point with a NULL payload
+    # column would otherwise never equal itself and come back a second
+    # time as a spurious unmatched row.
     matched = pt.join(iv, keys).filter(cond)
     null_iv = [
         F.lit(None).cast(intervals.schema[c].dataType).alias(c)
         for c in intervals.columns
         if c != on
     ]
-    unmatched = pt.join(
-        matched.select(*points.columns).distinct(),
-        points.columns,
-        "left_anti",
-    ).select(*points.columns, F.col("_b"), *null_iv)
+    mkeys = matched.select(
+        *[F.col(c).alias(f"_m_{c}") for c in points.columns]
+    ).distinct()
+    anti_cond = None
+    for c in points.columns:
+        eq = F.col(c).eqNullSafe(F.col(f"_m_{c}"))
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    unmatched = pt.join(mkeys, anti_cond, "left_anti").select(
+        *points.columns, F.col("_b"), *null_iv
+    )
     return matched.unionByName(
         unmatched.select(*matched.columns)
     ).drop("_b")

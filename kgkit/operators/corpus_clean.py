@@ -82,7 +82,7 @@ def clean_corpus(
     quality_clf=None,
     benchmarks: DataFrame = None,
     decontaminate_n: int = 13,
-) -> Tuple[DataFrame, Dict[str, int]]:
+) -> Tuple[DataFrame, Dict[str, object]]:
     """docs(doc_id, url?, text) -> (cleaned docs, per-stage stats).
 
     ``url_col=None`` (or a missing column) skips stage 1.
@@ -107,7 +107,7 @@ def clean_corpus(
     from kgkit.operators.dedup import minhash_near_dups
     from kgkit.operators.text_quality import gopher_quality
 
-    stats: Dict[str, int] = {"input": docs.count()}
+    stats: Dict[str, object] = {"input": docs.count()}
 
     cur = docs
     # -- 1. URL canonical dedup ------------------------------------------
@@ -200,13 +200,24 @@ def clean_corpus(
         from kgkit.operators.dedup import decontaminate
 
         prev = cur
-        cleaned, _report = decontaminate(
+        _, report = decontaminate(
             cur.select("doc_id", "text"), benchmarks, n=decontaminate_n
         )
-        cur = _boundary(cur.join(cleaned.select("doc_id"), "doc_id",
-                                 "left_semi"))
+        report = report.localCheckpoint()  # consumed twice: filter + audit
+        # anti-join the HITS report directly (decontaminate's own
+        # clean frame would cost a redundant second join), and surface
+        # the auditability the report exists for: a sample of dropped
+        # docs with their offending n-grams rides along in stats
+        cur = _boundary(
+            cur.join(report.select("doc_id"), "doc_id", "left_anti")
+        )
         last = boundaries[-1][1]
         stats["after_decontamination"] = cur.count()
+        stats["contamination_examples"] = [
+            [r["doc_id"], r["n_hits"], r["example"]]
+            for r in report.orderBy(F.desc("n_hits"), "doc_id")
+            .limit(5).collect()
+        ]
         prev.unpersist()
         boundaries.append(
             (last, "after_decontamination", "dropped_contaminated")

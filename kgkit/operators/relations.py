@@ -351,8 +351,17 @@ def embedding_tuples(
     — a single-task sort of a vocab-sized frame (the canonical_map
     memo caveat class), broadcast back for the negative lookup; the
     positives anti-join is the only graph shuffle.  Corpus-scale data
-    never enters."""
-    edges = rel.select("subj", "pred", "obj").distinct()
+    never enters: the deduped edge set is eagerly materialized
+    (localCheckpoint) because FOUR branches consume it (the entity
+    self-union, the candidate explode, the positives filter, plus the
+    vocab count action) — the fan-out discipline, and it also cuts the
+    caller's UDF lineage when ``rel`` is the live stage-4b stream."""
+    if n_negatives < 1:
+        # F.sequence(0, n-1) would DESCEND for n_negatives=0 (Spark's
+        # default step is -1 when start > stop), silently emitting
+        # j in {0, -1} instead of nothing
+        raise ValueError(f"n_negatives must be >= 1, got {n_negatives}")
+    edges = rel.select("subj", "pred", "obj").distinct().localCheckpoint()
     ents = (
         edges.select(F.col("subj").alias("e"))
         .unionByName(edges.select(F.col("obj").alias("e")))

@@ -66,7 +66,14 @@ def kmv_sketch(
     md5 hashes of ``col`` per key group."""
     keys = list(keys)
     h = kmv_hash_col(F.col(col)).alias("_h")
-    distinct = df.select(*keys, h).distinct()
+    # NULL values must not enter: md5(NULL) is NULL, ranks FIRST in
+    # the ascending windows (nulls-first), eats a top-k slot and then
+    # drops out of collect_list — a one-NULL group would ship a k-1
+    # sketch and take the exact-below-k estimator branch (a silent
+    # collapse to ~k).  SQL COUNT(DISTINCT) ignores NULLs; so do we.
+    distinct = (
+        df.filter(F.col(col).isNotNull()).select(*keys, h).distinct()
+    )
     w_salt = Window.partitionBy(
         *keys, F.pmod(F.col("_h"), F.lit(n_salts))
     ).orderBy("_h")

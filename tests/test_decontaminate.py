@@ -109,6 +109,12 @@ class TestDecontaminate:
         assert stats["dropped_contaminated"] >= 1
         kept = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
         assert 3 not in kept and 17 not in kept
+        # auditability rides along: sample rows of (doc_id, n_hits,
+        # offending n-gram) for the dropped docs
+        ex = stats["contamination_examples"]
+        assert ex and all(len(row) == 3 and row[1] >= 1 for row in ex)
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert all(row[2] in texts[row[0]] for row in ex)
 
     def test_plan_is_broadcast_only(self, spark, fixture):
         """The corpus n-gram stream must never shuffle: the benchmark

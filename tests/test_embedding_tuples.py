@@ -37,6 +37,13 @@ class TestEmbeddingTuples:
             assert (s, p, neg) not in positives  # the filtered setting
             assert 0 <= j < 4
 
+    def test_zero_negatives_rejected(self, spark, rel):
+        """F.sequence(0, -1) would DESCEND (j in {0, -1}) — reject."""
+        from kgkit.operators.relations import embedding_tuples
+
+        with pytest.raises(ValueError, match="n_negatives"):
+            embedding_tuples(rel, 0)
+
     def test_matches_duckdb(self, spark, rel):
         from kgkit.operators.relations import embedding_tuples
 

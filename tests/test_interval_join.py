@@ -93,6 +93,23 @@ class TestIntervalJoin:
                                       bucket_s=32).collect()}
         assert got == {1: 9, 2: None}
 
+    def test_left_mode_null_payload_not_duplicated(self, spark):
+        """A matched point with a NULL payload column must appear
+        exactly once — the unmatched re-attachment anti-join is
+        null-safe (regression: non-null-safe equality emitted the
+        point both matched and as a spurious unmatched row)."""
+        from kgkit.operators.asof import interval_join
+
+        pdf = spark.createDataFrame(
+            [(1, None, 50), (2, "x", 500)], "pid long, tag string, ts long"
+        )
+        idf = spark.createDataFrame(
+            [(9, 40, 60)], "iid long, start long, end long"
+        )
+        rows = interval_join(pdf, idf, how="left", bucket_s=32).collect()
+        assert sorted((r["pid"], r["iid"]) for r in rows) == [(1, 9),
+                                                              (2, None)]
+
     def test_degenerate_and_inverted_intervals(self, spark):
         from kgkit.operators.asof import interval_join
 

@@ -96,6 +96,19 @@ class TestKMV:
             )
             assert got[h] == round(twin, 4)
 
+    def test_null_values_are_ignored(self, spark):
+        """md5(NULL) ranks nulls-first in the window then vanishes in
+        collect_list — without the filter, one NULL would ship a k-1
+        sketch and collapse the estimate to ~k (regression)."""
+        from kgkit.operators.sketches import distinct_estimate, kmv_sketch
+
+        rows = [(0, f"v{i}") for i in range(500)] + [(0, None)]
+        df = spark.createDataFrame(rows, "host long, url string")
+        [sk] = kmv_sketch(df, ["host"], "url", k=K).collect()
+        assert len(sk["sketch"]) == K and None not in sk["sketch"]
+        [est] = distinct_estimate(df, ["host"], "url", k=K).collect()
+        assert abs(est["est_distinct"] - 500) / 500 < 3 / (K ** 0.5)
+
     def test_plan_windows_are_salted_then_keyed(self, spark):
         """The first rank must partition by (key, salt) — a plain
         per-key window would serialize a hub key's entire distinct
