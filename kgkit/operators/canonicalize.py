@@ -45,6 +45,53 @@ def _entity_key(col):
     return F.substring(col, 2, 10).cast("int")
 
 
+def _local_key_twin(key_fn):
+    """Driver-side twin of the Column-level canonical key, or None when
+    no exact twin is known (the local path then stays disabled).  The
+    two keys in use: default ``_entity_key`` ('Q<n>' -> int of chars
+    2..11, mirrored below) and natural ordering (``dup_clusters``
+    passes ``local_key`` explicitly)."""
+    if key_fn is None:
+        return lambda v: int(str(v)[1:11])
+    return None
+
+
+def _local_components(spark, edge_rows, py_key, src_type):
+    """Exact driver-side union-find over a SMALL collected edge list —
+    identical result to the distributed fixpoint (same components, same
+    min-key canonical member), at zero scheduler rounds."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in edge_rows:
+        for v in (s, d):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            parent[ra] = rb
+    best: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in best or py_key(v) < py_key(best[r]):
+            best[r] = v
+    rows = [(v, best[find(v)]) for v in sorted(parent, key=py_key)]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("entity_id", src_type, True),
+        StructField("canonical_id", src_type, True),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
@@ -52,6 +99,8 @@ def connected_components(
     stats: dict = None,
     jump_after: int = 3,
     key_fn=None,
+    local_threshold: int = 100_000,
+    local_key=None,
 ) -> DataFrame:
     """edges(src, dst) undirected -> components(entity_id, canonical_id).
 
@@ -63,18 +112,48 @@ def connected_components(
     receive {'rounds': <iterations until fixpoint>} back (the
     long-chain test pins the doubling variant to O(log n) rounds).
 
-    The loop's shuffle width is sized to the GRAPH, not the session
-    default: the entity graph is orders of magnitude smaller than the
-    page corpus, and running log(n) tiny iterations at the corpus's
-    shuffle width is pure scheduler overhead (measured: the loop at 32
-    shuffle partitions dominated the whole pipeline's wall clock).
-    ~100k edges per partition keeps each iteration a handful of tasks.
+    SCALE-ADAPTIVE local path (guide §1.2: fix the distributed
+    algorithm first): when the edge list is at most ``local_threshold``
+    rows — known from the count the loop needs anyway — the fixpoint is
+    solved driver-side by exact union-find instead of a driver-paced
+    join loop.  Each distributed round costs several scheduler
+    round-trips (join + aggregate + localCheckpoint + changed-count),
+    which for the alias-dictionary graph (tens of edges) dominated the
+    whole kg_canonical wall (~8 s measured at sf0.1); the local path is
+    the same bounded-collect class as the ``canonical_map`` memo below
+    (threshold << _CANONICAL_CACHE_MAX_ROWS) and returns the IDENTICAL
+    (component, min-key canonical) mapping — pinned by
+    tests/test_canonicalize.py::TestLocalPath.  A graph above the
+    threshold runs the distributed loop exactly as before; pass
+    ``local_threshold=0`` to force it (the convergence tests do).
+    ``local_key`` supplies the driver-side twin of a custom ``key_fn``
+    (required because key_fn operates on Columns); without a twin the
+    local path stays off — correctness never depends on it.
+
+    The distributed loop's shuffle width is sized to the GRAPH, not the
+    session default: the entity graph is orders of magnitude smaller
+    than the page corpus, and running log(n) tiny iterations at the
+    corpus's shuffle width is pure scheduler overhead (measured: the
+    loop at 32 shuffle partitions dominated the whole pipeline's wall
+    clock).  ~100k edges per partition keeps each iteration a handful
+    of tasks.
     """
     if variant not in ("doubling", "propagation", "adaptive"):
         raise ValueError(f"unknown CC variant {variant!r}")
     key = key_fn if key_fn is not None else _entity_key
     spark = edges.sparkSession
     n_edges = edges.count()
+    py_key = local_key if local_key is not None else _local_key_twin(key_fn)
+    if py_key is not None and n_edges <= local_threshold:
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["local"] = True
+        edge_rows = [
+            (r["src"], r["dst"]) for r in edges.select("src", "dst").collect()
+        ]
+        return _local_components(
+            spark, edge_rows, py_key, edges.schema["src"].dataType
+        )
     n_parts = max(1, min(64, n_edges // 100_000))
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # everything that runs eager jobs at the loop's shuffle width —

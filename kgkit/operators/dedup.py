@@ -283,7 +283,10 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint()
-    cc = connected_components(edges, key_fn=lambda c: c)
+    # natural ordering on BIGINT doc_ids; local_key is the driver-side
+    # twin that enables the small-graph union-find fast path
+    cc = connected_components(edges, key_fn=lambda c: c,
+                              local_key=lambda v: v)
     return cc.select(
         F.col("entity_id").alias("doc_id"), "canonical_id"
     )

@@ -311,6 +311,33 @@ def link_mentions(
                                    amb_nums, scores_broadcast_rows)
         return _join_rerank(cands_of(mentions, grouped), embeddings)
 
+    if default_dict:
+        # the default dictionary is a static code fixture
+        # (alias_dict.ALIAS_ROWS): the ambiguous-entity set is a pure
+        # function of those rows, so derive it driver-side instead of
+        # launching the probe job (measured ~2.5 s as the session's
+        # first aggregation; guide §1.2 — don't compute on the cluster
+        # what is constant in the program).  A caller-supplied
+        # dictionary still runs the bounded probe below.
+        from collections import Counter
+
+        from kgkit.sources.alias_dict import ALIAS_ROWS
+
+        n_cands = Counter(a for a, _, _, _ in ALIAS_ROWS)
+        amb_nums = sorted(
+            {num for a, _, num, _ in ALIAS_ROWS if n_cands[a] > 1}
+        )
+        use_literal = len(amb_nums) <= max_literal_amb
+        _STRATEGY_CACHE.clear()
+        _STRATEGY_CACHE[cache_key] = (
+            (True, amb_nums) if use_literal else (False, None)
+        )
+        cands = cands_of(mentions, grouped)
+        if use_literal:
+            return _literal_rerank(cands, embeddings, amb_nums,
+                                   scores_broadcast_rows)
+        return _join_rerank(cands, embeddings)
+
     amb_num_df = (
         grouped.filter("n_cands > 1")
         .select(F.explode(F.col("cands")["entity_num"]).alias("n"))
@@ -323,13 +350,7 @@ def link_mentions(
     cands = cands_of(mentions, grouped)
     if use_literal:
         amb_nums = sorted(int(r["n"]) for r in amb_rows)
-        if default_dict:
-            _STRATEGY_CACHE.clear()
-            _STRATEGY_CACHE[cache_key] = (True, amb_nums)
         return _literal_rerank(cands, embeddings, amb_nums, scores_broadcast_rows)
-    if default_dict:
-        _STRATEGY_CACHE.clear()
-        _STRATEGY_CACHE[cache_key] = (False, None)
     return _join_rerank(cands, embeddings)
 
 

@@ -304,6 +304,12 @@ def relations_from_counts(rel: DataFrame) -> DataFrame:
     merge-then-annotate equals aggregate-then-annotate row-for-row).
     """
     rel = rel.persist()  # aggregated relation; guards the 4-branch fan-out
+    # populate it EAGERLY: the four marginal branches otherwise race
+    # the unpopulated cache inside one action and each re-runs the full
+    # mention-UDF + window + pages-join lineage (the metrics_fanout_df
+    # discipline).  The count is over the already-aggregated relation —
+    # one pass of the expensive lineage, then every branch reads cache.
+    rel.count()
     subj_n = rel.groupBy("subj").agg(F.sum("n").alias("subj_n"))
     obj_n = rel.groupBy("obj").agg(F.sum("n").alias("obj_n"))
     pair_n = rel.groupBy("subj", "obj").agg(F.sum("n").alias("pair_n"))

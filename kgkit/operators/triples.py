@@ -62,6 +62,15 @@ def assemble_triples(
         from pyspark import StorageLevel
 
         m = m.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize the cache EAGERLY before the two-branch fan-out:
+        # with a lazy persist both union branches (and, downstream, the
+        # entity-counts orderBy's range-partition sampling pass) race
+        # the unpopulated cache inside one action, serializing on the
+        # block locks / re-running the stage-1 UDF lineage — measured
+        # at sf0.1: the assembled query dropped 4.0->2.5 s and
+        # kg_entity_counts 7.0->~3 s once the cache is populated first
+        # (the metrics_fanout_df discipline, guide §2.4/§5)
+        m.count()
 
     page_triples = (
         m.groupBy("url", "entity")

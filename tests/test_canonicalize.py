@@ -22,13 +22,13 @@ class TestVariantsAgree:
         want = {
             r["entity_id"]: r["canonical_id"]
             for r in connected_components(
-                _edges(spark, pairs), variant="propagation"
+                _edges(spark, pairs), variant="propagation", local_threshold=0
             ).collect()
         }
         got = {
             r["entity_id"]: r["canonical_id"]
             for r in connected_components(
-                _edges(spark, pairs), variant="doubling"
+                _edges(spark, pairs), variant="doubling", local_threshold=0
             ).collect()
         }
         assert got == want
@@ -51,7 +51,7 @@ class TestChainConvergence:
         stats = {}
         comp = connected_components(
             _edges(spark, [(i, i + 1) for i in range(1, n)]),
-            variant="doubling", stats=stats,
+            variant="doubling", stats=stats, local_threshold=0,
         )
         sample = {
             r["entity_id"]: r["canonical_id"]
@@ -75,7 +75,7 @@ class TestAdaptiveVariant:
         stats = {}
         comp = connected_components(
             _edges(spark, [(i, i + 1) for i in range(1, n)]),
-            variant="adaptive", stats=stats,
+            variant="adaptive", stats=stats, local_threshold=0,
         )
         got = {r["entity_id"]: r["canonical_id"]
                for r in comp.filter(f"entity_id in ('Q{n}')").collect()}
@@ -90,8 +90,61 @@ class TestAdaptiveVariant:
         pairs = [(5, 3), (3, 9), (12, 14)]
         sa, sp = {}, {}
         a = connected_components(_edges(spark, pairs), variant="adaptive",
-                                 stats=sa).collect()
+                                 stats=sa, local_threshold=0).collect()
         p = connected_components(_edges(spark, pairs), variant="propagation",
-                                 stats=sp).collect()
+                                 stats=sp, local_threshold=0).collect()
         assert {tuple(r) for r in a} == {tuple(r) for r in p}
         assert sa["rounds"] == sp["rounds"] <= 3
+
+
+class TestLocalPath:
+    """The small-graph union-find fast path must return the IDENTICAL
+    (component, min-key canonical) mapping as the distributed fixpoint
+    — for both canonical keys in use (entity 'Q<n>' and natural)."""
+
+    def test_local_equals_distributed_entity_key(self, spark):
+        from kgkit.operators.canonicalize import connected_components
+
+        # multi-hop chain + cycle + isolated edge + high/low id mix
+        pairs = [(5, 3), (3, 9), (12, 14), (14, 12), (7, 20), (20, 21),
+                 (100, 2), (2, 50)]
+        sl, sd = {}, {}
+        local = {
+            tuple(r) for r in connected_components(
+                _edges(spark, pairs), stats=sl).collect()
+        }
+        dist = {
+            tuple(r) for r in connected_components(
+                _edges(spark, pairs), stats=sd, local_threshold=0).collect()
+        }
+        assert local == dist
+        assert sl.get("local") is True and sl["rounds"] == 0
+        assert "local" not in sd and sd["rounds"] >= 1
+
+    def test_local_equals_distributed_natural_key(self, spark):
+        from kgkit.operators.canonicalize import connected_components
+
+        pairs = [(105, 3), (3, 900), (12, 14), (7, 1_000_000)]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        local = {
+            tuple(r) for r in connected_components(
+                edges, key_fn=lambda c: c, local_key=lambda v: v
+            ).collect()
+        }
+        dist = {
+            tuple(r) for r in connected_components(
+                edges, key_fn=lambda c: c, local_threshold=0
+            ).collect()
+        }
+        assert local == dist
+        assert {r for r in local if r[0] == 900} == {(900, 3)}
+
+    def test_custom_key_without_twin_stays_distributed(self, spark):
+        from kgkit.operators.canonicalize import connected_components
+
+        stats = {}
+        connected_components(
+            _edges(spark, [(1, 2)]), key_fn=lambda c: c, stats=stats
+        ).collect()
+        # no local_key twin supplied -> the local path must not engage
+        assert "local" not in stats and stats["rounds"] >= 1
