@@ -270,15 +270,19 @@ def canonical_map(spark, edges: DataFrame = None) -> DataFrame:
         key = spark.sparkContext.applicationId
         cached = _CANONICAL_CACHE.get(key)
         if cached is not None:
-            return spark.createDataFrame(
-                cached, "entity_id string, canonical_id string"
+            from kgkit.sources.localrel import values_df
+
+            return values_df(
+                spark, cached, "entity_id string, canonical_id string"
             )
         result = canonical_map(spark, edges_df(spark))
         rows = [tuple(r) for r in result.collect()]
         if len(rows) <= _CANONICAL_CACHE_MAX_ROWS:
             _CANONICAL_CACHE.clear()  # evict dead sessions' entries
             _CANONICAL_CACHE[key] = rows
-        return spark.createDataFrame(rows, "entity_id string, canonical_id string")
+        from kgkit.sources.localrel import values_df
+
+        return values_df(spark, rows, "entity_id string, canonical_id string")
 
     comp = connected_components(edges)
     all_entities = alias_df(spark).select("entity_id").distinct()

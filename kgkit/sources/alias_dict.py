@@ -40,9 +40,15 @@ SYNONYM_EDGES: List[Tuple[str, str]] = [
 
 
 def alias_df(spark):
-    """Alias dictionary as a (small, broadcastable) Spark DataFrame."""
-    return spark.createDataFrame(
-        ALIAS_ROWS, "alias string, entity_id string, entity_num int, prior double"
+    """Alias dictionary as a (small, broadcastable) Spark DataFrame —
+    a JVM VALUES LocalRelation (kgkit.sources.localrel): the dictionary
+    sits on the build side of every linked-family query, and a
+    createDataFrame fixture re-pays a pickled-RDD scan per query."""
+    from kgkit.sources.localrel import values_df
+
+    return values_df(
+        spark, ALIAS_ROWS,
+        "alias string, entity_id string, entity_num int, prior double",
     )
 
 

@@ -63,8 +63,13 @@ def planted_ner_docs() -> List[Tuple[int, str]]:
 
 
 def planted_ner_pages(spark: SparkSession) -> DataFrame:
-    """The planted pages in the (url, text, lang) mention-input shape."""
-    df = spark.createDataFrame(planted_ner_docs(), "doc_id long, text string")
+    """The planted pages in the (url, text, lang) mention-input shape —
+    a JVM VALUES LocalRelation (kgkit.sources.localrel): ~15 queries
+    union these rows into the NER input, and a createDataFrame fixture
+    re-pays a pickled-RDD scan per query (guide §4)."""
+    from kgkit.sources.localrel import values_df
+
+    df = values_df(spark, planted_ner_docs(), "doc_id long, text string")
     return df.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         "text",
@@ -116,10 +121,11 @@ def relation_planted_docs() -> List[Tuple[int, str]]:
 
 
 def relation_planted_pages(spark: SparkSession) -> DataFrame:
-    """The relation-typing pages in the (url, text, lang) shape."""
-    df = spark.createDataFrame(
-        relation_planted_docs(), "doc_id long, text string"
-    )
+    """The relation-typing pages in the (url, text, lang) shape — a JVM
+    VALUES LocalRelation, same rationale as planted_ner_pages."""
+    from kgkit.sources.localrel import values_df
+
+    df = values_df(spark, relation_planted_docs(), "doc_id long, text string")
     return df.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         "text",
