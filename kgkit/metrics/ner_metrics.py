@@ -126,16 +126,102 @@ def entity_class_counts(
 ) -> DataFrame:
     """(seq_id, pos, true, pred) -> (cls, tp, fp, fn, n_true, n_pred).
 
-    seqeval-strict chunk sets compared by full outer join on
-    (seq_id, cls, start, end) — the triple-parity mechanism (J5)."""
+    seqeval-strict chunk sets compared on (seq_id, cls, start, end) —
+    the triple-parity mechanism (J5).
+
+    FUSED single-subtree shape (guide §2.4 — share the exchange, drop
+    the join): both sides' run markers are computed in ONE window pass
+    over a frame carrying both tag columns, then a side-tagged explode
+    turns the two chunk streams into rows of one subtree — so the
+    upstream token stream (at corpus scale, the word-level UDF) is
+    STRUCTURALLY executed once.  The old shape built each side from its
+    own pruned projection: two distinct exchanges (ReusedExchange
+    cannot canonicalize differently-pruned children), i.e. the UDF ran
+    twice when the input was not cached, plus a full-outer sort-merge
+    join on the 4-part chunk key.  Here the join is a groupBy over the
+    exploded side column: chunk keys are unique per side, so
+    max(side-presence) flags reproduce the join's matched/unmatched
+    classes exactly.  Plan: 2 exchanges (window, final cls aggregate),
+    1 sort — the run/chunk-key aggregations ride the window's seq_id
+    partitioning.  Identical counts pinned by the reference
+    truth-table tests and the ner_entity_prf oracle row.
+
+    For ``scheme='plain'`` the BIO view of the PREVIOUS row is derived
+    in the same window from (lag, lag2) — exactly ``tags_as_bio``'s
+    value for that row — so the conversion costs no second window."""
     eval_scheme = "bilou" if scheme == "bilou" else "bio"
-    true_b = tags_as_bio(df.select("seq_id", "pos", F.col("true").alias("t")), "t", scheme)
-    pred_b = tags_as_bio(df.select("seq_id", "pos", F.col(pred_col).alias("t")), "t", scheme)
-    tc = extract_chunks(true_b, "t", eval_scheme).withColumn("in_true", F.lit(1))
-    pc = extract_chunks(pred_b, "t", eval_scheme).withColumn("in_pred", F.lit(1))
-    joined = tc.join(pc, ["seq_id", "cls", "start_pos", "end_pos"], "full_outer")
+    w = Window.partitionBy("seq_id").orderBy("pos")
+    t = df.select(
+        "seq_id", "pos",
+        F.col("true").alias("_t"), F.col(pred_col).alias("_p"),
+    )
+    for side in ("t", "p"):
+        col = f"_{side}"
+        if scheme == "plain":
+            cur = _bio_from_plain(F.col(col), F.lag(col).over(w))
+            prv = _bio_from_plain(F.lag(col).over(w), F.lag(col, 2).over(w))
+        else:
+            cur = F.col(col)
+            prv = F.lag(col).over(w)
+        kind = F.when(cur == "O", F.lit("O")).otherwise(F.substring(cur, 1, 1))
+        cls = F.substring_index(cur, "-", -1)
+        pkind = F.when(prv == "O", F.lit("O")).otherwise(
+            F.substring(prv, 1, 1)
+        )
+        pcls = F.substring_index(prv, "-", -1)
+        continuation = (
+            kind.isin("I", "L") & (pcls == cls) & pkind.isin("B", "I")
+        )
+        t = (
+            t.withColumn(f"_k{side}", kind)
+            .withColumn(f"_c{side}", cls)
+            .withColumn(
+                f"_r{side}",
+                F.sum(
+                    F.when(continuation, F.lit(0)).otherwise(F.lit(1))
+                ).over(w),
+            )
+        )
+
+    sides_arr = F.array(
+        F.struct(
+            F.lit("t").alias("side"), F.col("_kt").alias("kind"),
+            F.col("_ct").alias("cls"), F.col("_rt").alias("run"),
+        ),
+        F.struct(
+            F.lit("p").alias("side"), F.col("_kp").alias("kind"),
+            F.col("_cp").alias("cls"), F.col("_rp").alias("run"),
+        ),
+    )
+    ex = (
+        t.select("seq_id", "pos", F.explode(sides_arr).alias("s"))
+        .select("seq_id", "pos", "s.side", "s.kind", "s.cls", "s.run")
+        .filter(F.col("kind") != "O")
+    )
+    runs = ex.groupBy("seq_id", "side", "run").agg(
+        F.first("cls").alias("cls"),
+        F.min("pos").alias("start_pos"),
+        F.max("pos").alias("end_pos"),
+        F.min_by("kind", "pos").alias("first_kind"),
+        F.max_by("kind", "pos").alias("last_kind"),
+        F.count("*").alias("size"),
+    )
+    if eval_scheme == "bilou":
+        valid = (
+            (F.col("first_kind") == "B") & (F.col("last_kind") == "L")
+        ) | ((F.col("first_kind") == "U") & (F.col("size") == 1))
+    else:  # bio (strict IOB2)
+        valid = F.col("first_kind") == "B"
+    matched = (
+        runs.filter(valid)
+        .groupBy("seq_id", "cls", "start_pos", "end_pos")
+        .agg(
+            F.max(F.when(F.col("side") == "t", 1)).alias("in_true"),
+            F.max(F.when(F.col("side") == "p", 1)).alias("in_pred"),
+        )
+    )
     return (
-        joined.groupBy("cls")
+        matched.groupBy("cls")
         .agg(
             F.sum(
                 F.when(F.col("in_true").isNotNull() & F.col("in_pred").isNotNull(), 1)
@@ -531,7 +617,26 @@ def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
     df.count()  # materialize BEFORE the fan-out: the five branches run
     # inside one job, and concurrent tasks racing an unpopulated cache
     # would each recompute the UDF partitions they beat the cache to
-    conf = token_confusion(df)
+
+    # The fan-out arithmetic below operates on the two SUFFICIENT
+    # STATISTICS — the token confusion (<= |labels|^2 rows) and the
+    # chunk-class counts (<= |classes| rows).  Distributed, the union's
+    # branches cost ~15 tiny exchange stages; instead the two
+    # aggregates are collected (bounded by the label set — the module
+    # docstring's driver-arithmetic budget, scale-independent) and
+    # re-injected as JVM LocalRelations, so every expression below
+    # runs UNCHANGED (bit-identical doubles — no arithmetic moved to
+    # python) over local tables: the whole fan-out collapses to two
+    # aggregation jobs plus local evaluation (guide §1.2).
+    from kgkit.sources.localrel import values_df
+
+    spark = df.sparkSession
+    conf = values_df(
+        spark,
+        [(r["true"], r["pred"], r["n"])
+         for r in token_confusion(df).collect()],
+        "true string, pred string, n bigint",
+    )
     n_pred = conf.groupBy(F.col("pred").alias("l")).agg(F.sum("n").alias("n_pred"))
     n_true = conf.groupBy(F.col("true").alias("l")).agg(F.sum("n").alias("n_true"))
     tp = (
@@ -602,7 +707,13 @@ def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
         *_macro(pc, rc, fc),
     )
 
-    counts = entity_class_counts(df, scheme)
+    counts = values_df(
+        spark,
+        [(r["cls"], r["tp"], r["fp"], r["fn"], r["n_true"], r["n_pred"])
+         for r in entity_class_counts(df, scheme).collect()],
+        "cls string, tp bigint, fp bigint, fn bigint, "
+        "n_true bigint, n_pred bigint",
+    )
     ep0, er0, ef0 = _raw_prf(
         F.col("tp"), F.col("tp") + F.col("fp"), F.col("tp") + F.col("fn"),
         F.lit(0.0),

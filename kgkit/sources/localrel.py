@@ -40,21 +40,27 @@ def values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     cols = []
     for part in schema.split(","):
         name, typ = part.strip().split(" ", 1)
+        assert "`" not in name
         cols.append((name, typ.strip().upper()))
-    assert rows, "values_df needs at least one row"
+    if not rows:
+        # VALUES needs >= 1 tuple; an empty fixture keeps the
+        # createDataFrame path (still correct, just not LocalRelation)
+        return spark.createDataFrame([], schema)
     body = ", ".join(
         "(" + ", ".join(
             _sql_literal(v, cols[i][1]) for i, v in enumerate(row)
         ) + ")"
         for row in rows
     )
-    names = ", ".join(n for n, _ in cols)
+    # backtick-quote names: fixture columns may collide with SQL
+    # keywords ('true'/'pred' in the metric tables)
+    names = ", ".join(f"`{n}`" for n, _ in cols)
     # IF(TRUE, x, NULL): VALUES literals analyze as non-nullable, but the
     # createDataFrame twin this replaces is nullable — keep the schemas
     # bit-identical (the driver compares schemas, and unionByName
     # nullability must not tighten)
     casts = ", ".join(
-        f"IF(TRUE, CAST({n} AS {t}), CAST(NULL AS {t})) AS {n}"
+        f"IF(TRUE, CAST(`{n}` AS {t}), CAST(NULL AS {t})) AS `{n}`"
         for n, t in cols
     )
     return spark.sql(
