@@ -107,6 +107,14 @@ def clean_corpus(
     from kgkit.operators.dedup import minhash_near_dups
     from kgkit.operators.text_quality import gopher_quality
 
+    # materialize the INPUT once (lineage cut + block-backed): the
+    # accounting count was already paying a full pass over the input
+    # lineage, and stage 1's keep-aggregate + semi-join-back then
+    # re-ran that lineage twice more (no ReusedExchange across the two
+    # differently-pruned sides) — measured 3.2 s of stage-1 boundary at
+    # sf0.1, ~1 s once the input reads blocks.  Same byte class as the
+    # stage-1 boundary that was already materialized.
+    docs = _boundary(docs)
     stats: Dict[str, object] = {"input": docs.count()}
 
     cur = docs

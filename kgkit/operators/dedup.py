@@ -249,6 +249,9 @@ def minhash_near_dups(
         from pyspark import StorageLevel
 
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+        shingled.count()  # eager: three consumers (signature + both
+        # verify sides) otherwise race the unpopulated cache and re-run
+        # the shingling HOFs (the assemble_triples discipline)
     bandt = lsh_band_table(minhash_signature(shingled, k), bands, rows)
     pairs = candidate_pairs(bandt, max_bucket=max_bucket,
                             observation=observation)
@@ -357,6 +360,9 @@ def ngram_jaccard_pairs(
         from pyspark import StorageLevel
 
         ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        ex.count()  # eager: four consumers (df counts, both join
+        # sides, per-doc sizes) otherwise race the unpopulated cache
+        # and re-run the shingling (the assemble_triples discipline)
     df_counts = ex.groupBy("s").agg(F.count("*").alias("df_"))
     kept = ex.join(df_counts.filter(F.col("df_") <= max_df), "s").select("doc_id", "s")
 
@@ -508,6 +514,10 @@ def substring_dup_pairs(
     fps = winnow_fingerprints(docs, k, window)
     capped = _cap_buckets(fps, max_bucket, keys=("fp",), id_col="doc_id")
     capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
+    capped.count()  # populate eagerly: the self-join's two sides (and
+    # the verify joins above them) otherwise race the unpopulated cache
+    # within one action and re-run the winnow HOFs — the hottest
+    # primitive of this operator (the assemble_triples discipline)
     a = capped.select(F.col("doc_id").alias("doc_a"), "fp",
                       F.col("pos").alias("pos_a"))
     b = capped.select(F.col("doc_id").alias("doc_b"), "fp",
