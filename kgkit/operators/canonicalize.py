@@ -142,18 +142,22 @@ def connected_components(
         raise ValueError(f"unknown CC variant {variant!r}")
     key = key_fn if key_fn is not None else _entity_key
     spark = edges.sparkSession
-    n_edges = edges.count()
     py_key = local_key if local_key is not None else _local_key_twin(key_fn)
-    if py_key is not None and n_edges <= local_threshold:
-        if stats is not None:
-            stats["rounds"] = 0
-            stats["local"] = True
-        edge_rows = [
-            (r["src"], r["dst"]) for r in edges.select("src", "dst").collect()
-        ]
-        return _local_components(
-            spark, edge_rows, py_key, edges.schema["src"].dataType
-        )
+    if py_key is not None and local_threshold > 0:
+        # ONE bounded job decides the gate AND delivers the edges (the
+        # link_mentions probe pattern): more than local_threshold rows
+        # came back -> fall through to the distributed loop, whose
+        # count below is then the only full pass
+        head = edges.select("src", "dst").take(local_threshold + 1)
+        if len(head) <= local_threshold:
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["local"] = True
+            return _local_components(
+                spark, [(r["src"], r["dst"]) for r in head], py_key,
+                edges.schema["src"].dataType,
+            )
+    n_edges = edges.count()
     n_parts = max(1, min(64, n_edges // 100_000))
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # everything that runs eager jobs at the loop's shuffle width —

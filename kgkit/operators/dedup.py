@@ -146,34 +146,36 @@ def _cap_buckets(band_table: DataFrame, max_bucket: int,
     Truncation is never silent: pass a ``pyspark.sql.Observation`` to
     receive (buckets_dropped, band_rows_dropped) as free observation
     metrics on the first action — no extra job, unlike an eager count.
-    The bucket-size annotation is a window count over the SAME
-    bucket key the subsequent self-join shuffles on, so AQE coalesces
-    the two into one exchange of the band table."""
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys)
-    sized = band_table.withColumn("_bsz", F.count("*").over(w))
+    Shape (guide §2.3 — aggregate before you shuffle): bucket sizes
+    are a partial-aggregated groupBy over the bucket key; oversized
+    buckets (rare by construction — boilerplate degeneracy) form a
+    tiny blocklist that BROADCAST anti-joins back onto the band table.
+    This replaces the former full-row window count, which shuffled and
+    sorted every band row by the bucket key just to annotate sizes.
+    The helper scans ``band_table`` twice (sizes + probe), so callers
+    persist it first when its lineage is expensive — every caller in
+    this repo does.  The observation rides the sizes aggregate: the
+    same (buckets_dropped, band_rows_dropped) values, without the old
+    row_number marker trick."""
+    sizes = band_table.groupBy(*keys).agg(F.count("*").alias("_bsz"))
     if observation is not None:
-        # metrics ride the plan for free; candidate_pairs attaches this
-        # to ONE self-join branch only (a CollectMetrics node must be
-        # unique per plan, and the metric-free twin branch stays
-        # plan-identical to the scan for exchange reuse).  Observed
-        # metrics forbid DISTINCT, so buckets are counted by marking
-        # each bucket's first row with a row_number over the same key.
-        marked = sized.withColumn(
-            "_brn", F.row_number().over(w.orderBy(id_col))
-        ).observe(
+        sizes = sizes.observe(
             observation,
             F.sum(
-                F.when((F.col("_bsz") > max_bucket) & (F.col("_brn") == 1), 1)
-                .otherwise(0)
+                F.when(F.col("_bsz") > max_bucket, 1).otherwise(0)
             ).alias("buckets_dropped"),
             F.sum(
-                F.when(F.col("_bsz") > max_bucket, 1).otherwise(0)
+                F.when(F.col("_bsz") > max_bucket, F.col("_bsz"))
+                .otherwise(0)
             ).alias("band_rows_dropped"),
         )
-        return marked.filter(F.col("_bsz") <= max_bucket).drop("_bsz", "_brn")
-    return sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    bad = sizes.filter(F.col("_bsz") > max_bucket).select(*keys)
+    # a USING-list join reorders columns (keys first) — re-project to
+    # the input's column order (CLAUDE.md gotcha)
+    return band_table.join(
+        F.broadcast(bad), list(keys), "left_anti"
+    ).select(*band_table.columns)
 
 
 def candidate_pairs(band_table: DataFrame, max_bucket: int = 1000,
@@ -183,15 +185,21 @@ def candidate_pairs(band_table: DataFrame, max_bucket: int = 1000,
     only; buckets larger than ``max_bucket`` are dropped entirely (see
     ``_cap_buckets``; ``observation`` surfaces the dropped mass).
 
-    The capped band table is persisted before the self-join: its
-    lineage (minhash HOF lambdas + a window) does not canonicalize
-    into a ReusedExchange, so without the persist both join sides
-    recompute the signatures and the bucket-size window."""
-    capped = _cap_buckets(band_table, max_bucket, observation)
+    The band table is repartitioned by the bucket key and persisted
+    BEFORE capping: its lineage (minhash HOF lambdas) does not
+    canonicalize into a ReusedExchange, so without the persist the
+    cap's sizes aggregate and both join sides would recompute the
+    signatures — and the cached key-partitioning is exactly what the
+    sizes groupBy and the self-join require, so neither adds an
+    exchange (one shuffle of the band table total)."""
     if persist:
         from pyspark import StorageLevel
 
-        capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
+        band_table = band_table.repartition("band_idx", "band_hash").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        band_table.count()  # populate eagerly (the fan-out discipline)
+    capped = _cap_buckets(band_table, max_bucket, observation)
     a = capped.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
@@ -430,10 +438,20 @@ def incremental_near_dups(
         from pyspark import StorageLevel
 
         sh_c = sh_c.persist(StorageLevel.MEMORY_AND_DISK)
+        sh_c.count()  # eager: signature path + verify side (the
+        # fan-out discipline)
         sh_b = sh_b.persist(StorageLevel.MEMORY_AND_DISK)
-    bt_c = _cap_buckets(
-        lsh_band_table(minhash_signature(sh_c, k), bands, rows), max_bucket
-    ).select(
+        sh_b.count()
+    bands_c = lsh_band_table(minhash_signature(sh_c, k), bands, rows)
+    if persist:
+        # the cap scans its input twice (sizes + probe): persist the
+        # corpus band table, key-partitioned so the sizes aggregate
+        # needs no exchange
+        bands_c = bands_c.repartition("band_idx", "band_hash").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        bands_c.count()
+    bt_c = _cap_buckets(bands_c, max_bucket).select(
         F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_hash"
     )
     bt_b = lsh_band_table(minhash_signature(sh_b, k), bands, rows).select(
@@ -511,13 +529,19 @@ def substring_dup_pairs(
     28-bit hash collision cannot produce a false pair."""
     from pyspark import StorageLevel
 
-    fps = winnow_fingerprints(docs, k, window)
+    # repartition by fp + persist BEFORE capping: the winnow HOFs are
+    # the hottest primitive of this operator, and the cached
+    # key-partitioning serves the cap's sizes aggregate AND both
+    # self-join sides with zero further exchanges (one shuffle of the
+    # fingerprint stream total; the old shape window-sorted the full
+    # rows by fp just to annotate bucket sizes)
+    fps = (
+        winnow_fingerprints(docs, k, window)
+        .repartition("fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fps.count()  # populate eagerly (the fan-out discipline)
     capped = _cap_buckets(fps, max_bucket, keys=("fp",), id_col="doc_id")
-    capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
-    capped.count()  # populate eagerly: the self-join's two sides (and
-    # the verify joins above them) otherwise race the unpopulated cache
-    # within one action and re-run the winnow HOFs — the hottest
-    # primitive of this operator (the assemble_triples discipline)
     a = capped.select(F.col("doc_id").alias("doc_a"), "fp",
                       F.col("pos").alias("pos_a"))
     b = capped.select(F.col("doc_id").alias("doc_b"), "fp",

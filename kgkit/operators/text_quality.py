@@ -102,35 +102,50 @@ def top_ngram_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     characters it covers (Gopher's repetition filter drops docs whose
     top 2-gram covers > 0.2 of characters).
 
-    Shape: explode n-grams -> groupBy(doc_id, ngram) count (map-side
-    combine; doc_id in the key means no hot keys) -> per-doc top-1 via
-    window ordered (count DESC, ngram DESC) for deterministic ties.
+    Shape (guide §2.4 — remove the shuffle outright): the n-gram
+    multiset of a document lives entirely in its own row, so the
+    per-doc top-1 is a WITHIN-ROW computation — sort the gram array
+    and fold it once, tracking the current run length and the best
+    (count, gram) seen.  Zero exchanges (this used to explode to an
+    (doc, ngram) stream, groupBy-count it and window-sort for top-1:
+    two shuffles of the gram stream for a per-row answer).  O(g log g)
+    per document, embarrassingly parallel at any corpus size.  Tie
+    rule unchanged: highest count, then lexicographically LARGEST gram
+    (the old window ordered (cnt DESC, ngram DESC)) — the fold scans
+    ascending sorted grams and replaces on strictly-better count or
+    equal-count-larger-gram, which lands on the same winner.
     """
     w = _words()
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
-    grams = docs.filter(F.size(_words()) >= n).select(
-        "doc_id",
-        F.length("text").alias("n_chars_t"),
-        F.explode(
-            F.transform(idx, lambda i: F.concat_ws(
-                " ", F.slice(w, i + 1, n)))
-        ).alias("ngram"),
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("bc"), F.lit("").alias("bg"),
     )
-    counts = grams.groupBy("doc_id", "n_chars_t", "ngram").agg(
-        F.count("*").alias("cnt")
-    )
-    win = Window.partitionBy("doc_id").orderBy(
-        F.desc("cnt"), F.desc("ngram")
-    )
+
+    def _step(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = (run2 > acc["bc"]) | ((run2 == acc["bc"]) & (x > acc["bg"]))
+        return F.struct(
+            x.alias("prev"), run2.alias("run"),
+            F.when(better, run2).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    best = F.aggregate(F.array_sort(grams), init, _step)
     return (
-        counts.withColumn("rnk", F.row_number().over(win))
-        .filter(F.col("rnk") == 1)
+        docs.filter(F.size(_words()) >= n)
         .select(
             "doc_id",
-            F.col("ngram").alias("top_ngram"),
-            F.col("cnt").cast("long").alias("top_ngram_n"),
+            F.length("text").alias("n_chars_t"),
+            best.alias("_b"),
+        )
+        .select(
+            "doc_id",
+            F.col("_b.bg").alias("top_ngram"),
+            F.col("_b.bc").cast("long").alias("top_ngram_n"),
             F.round(
-                (F.col("cnt") * F.length("ngram"))
+                (F.col("_b.bc") * F.length(F.col("_b.bg")))
                 / F.col("n_chars_t").cast("double"), 6
             ).alias("top_ngram_char_frac"),
         )

@@ -61,7 +61,10 @@ def alias_values_sql() -> str:
 
 
 def edges_df(spark):
-    """Undirected canonicalization edges: shared-alias pairs + synonyms."""
+    """Undirected canonicalization edges: shared-alias pairs + synonyms
+    — a JVM VALUES LocalRelation (see alias_df)."""
+    from kgkit.sources.localrel import values_df
+
     shared = {}
     for a, e, _, _ in ALIAS_ROWS:
         shared.setdefault(a, []).append(e)
@@ -70,7 +73,7 @@ def edges_df(spark):
         for i in range(len(ents)):
             for j in range(i + 1, len(ents)):
                 pairs.add((ents[i], ents[j]))
-    return spark.createDataFrame(sorted(pairs), "src string, dst string")
+    return values_df(spark, sorted(pairs), "src string, dst string")
 
 
 def edges_values_sql() -> str:
