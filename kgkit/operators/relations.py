@@ -303,13 +303,18 @@ def relations_from_counts(rel: DataFrame) -> DataFrame:
     and the streaming path's merged partial counts (sums commute —
     merge-then-annotate equals aggregate-then-annotate row-for-row).
     """
-    rel = rel.persist()  # aggregated relation; guards the 4-branch fan-out
-    # populate it EAGERLY: the four marginal branches otherwise race
-    # the unpopulated cache inside one action and each re-runs the full
+    # materialize the aggregated relation EAGERLY and cut its lineage:
+    # the four marginal branches below otherwise race an unpopulated
+    # lazy cache inside one action and each re-runs the full
     # mention-UDF + window + pages-join lineage (the metrics_fanout_df
-    # discipline).  The count is over the already-aggregated relation —
-    # one pass of the expensive lineage, then every branch reads cache.
-    rel.count()
+    # discipline) — and because that lineage is the deepest plan in the
+    # repo, a persist would still carry it into every branch's
+    # plan/AQE work; localCheckpoint truncates it to a LogicalRDD leaf
+    # (the corpus_clean._boundary rationale; measured ~0.4 s faster
+    # than persist+count at sf0.1).  rel is the AGGREGATED relation —
+    # bounded by distinct (pair x surface), orders of magnitude below
+    # the corpus.
+    rel = rel.localCheckpoint()
     subj_n = rel.groupBy("subj").agg(F.sum("n").alias("subj_n"))
     obj_n = rel.groupBy("obj").agg(F.sum("n").alias("obj_n"))
     pair_n = rel.groupBy("subj", "obj").agg(F.sum("n").alias("pair_n"))

@@ -301,17 +301,15 @@ class TestRelationsPlan:
             canonical_map(spark),
         )
         plan = rel._jdf.queryExecution().executedPlan().toString()
-        # rel + 4 marginal branches all scan the cache; the UDF lives
-        # only inside the cached relation (the plan STRING repeats the
-        # cached child per scan, but execution materializes it once —
-        # the same pin discipline as test_plans.py's triples test)
-        assert plan.count("InMemoryTableScan") >= 5, plan
-        assert "InMemoryRelation" in plan, plan
-        for line in plan.splitlines():
-            if "MapInPandas" in line:
-                break
-        else:
-            pytest.fail("stage-1 UDF missing from plan")
+        # the aggregated relation is eagerly materialized with its
+        # lineage CUT (localCheckpoint) before the 4-branch marginal
+        # fan-out: every branch scans the checkpointed RDD, and the
+        # stage-1 Arrow UDF is ABSENT from the fan-out plan entirely —
+        # it already executed exactly once while materializing rel
+        # (a stronger runs-once pin than the old cached-lineage shape,
+        # and the deep UDF plan no longer bloats per-branch AQE work)
+        assert plan.count("Scan ExistingRDD") >= 5, plan
+        assert "MapInPandas" not in plan, plan
 
     def test_query_registry_row(self, spark):
         from kgkit.queries import QUERIES
