@@ -223,9 +223,46 @@ def host_edges(links: DataFrame) -> DataFrame:
     )
 
 
+def _local_pagerank(spark, edge_rows, iters, num, den, q_grid, node_type):
+    """Driver-side twin of the distributed recurrence for SMALL
+    collected edge lists — every step is the same non-negative BIGINT
+    arithmetic (Spark's ``div`` == python ``//`` on non-negatives), so
+    the ranks are bit-identical to the loop's
+    (tests/test_linkgraph.py::TestPagerankLocalPath pins it)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_w: dict = {}
+    nodes: set = set()
+    for s, d, w in edge_rows:
+        out_w[s] = out_w.get(s, 0) + w
+        nodes.add(s)
+        nodes.add(d)
+    schema = StructType([
+        StructField("node", node_type, True),
+        StructField("rank_q", LongType(), True),
+    ])
+    if not nodes:
+        return spark.createDataFrame([], schema)
+    n = len(nodes)
+    r0 = q_grid // n
+    base = ((den - num) * r0) // den
+    ranks = {v: r0 for v in nodes}
+    for _ in range(iters):
+        contrib: dict = {}
+        for s, d, w in edge_rows:
+            contrib[d] = contrib.get(d, 0) + (ranks[s] * w) // out_w[s]
+        ranks = {
+            v: base + (num * contrib.get(v, 0)) // den for v in nodes
+        }
+    return spark.createDataFrame(
+        sorted(ranks.items()), schema
+    )
+
+
 def pagerank(edges: DataFrame, iters: int = 5,
              damping: Tuple[int, int] = (85, 100),
-             q_grid: int = Q_GRID) -> DataFrame:
+             q_grid: int = Q_GRID,
+             local_threshold: int = 100_000) -> DataFrame:
     """edges(src, dst, weight) -> (node, rank_q): ``iters`` rounds of
     the integer-exact PageRank recurrence on the 1/q_grid grid::
 
@@ -248,6 +285,18 @@ def pagerank(edges: DataFrame, iters: int = 5,
     """
     num, den = damping
     spark = edges.sparkSession
+    if local_threshold > 0:
+        # scale-adaptive local path (the connected_components
+        # discipline): one bounded take decides the gate AND delivers
+        # the edges; a graph small enough to collect runs the exact
+        # BIGINT recurrence driver-side instead of iters driver-paced
+        # join rounds.  Bit-identical ranks (non-negative div == //).
+        head = edges.select("src", "dst", "weight").take(local_threshold + 1)
+        if len(head) <= local_threshold:
+            return _local_pagerank(
+                spark, [(r["src"], r["dst"], r["weight"]) for r in head],
+                iters, num, den, q_grid, edges.schema["src"].dataType,
+            )
     n_edges = edges.count()
     n_parts = max(1, min(64, n_edges // 100_000))
     saved = spark.conf.get("spark.sql.shuffle.partitions")

@@ -420,3 +420,28 @@ class TestAuthorityWeightedMixing:
                for r in mixed.groupBy("tier").count().collect()}
         # authority-weighted: the head tier keeps a larger share
         assert n_by_tier["head"] / tot["head"] > n_by_tier["tail"] / tot["tail"]
+
+
+class TestPagerankLocalPath:
+    """The small-graph local path must return bit-identical ranks to
+    the distributed recurrence (non-negative BIGINT div == //)."""
+
+    def test_local_equals_distributed(self, spark):
+        from kgkit.operators.linkgraph import pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1),
+             ("d", "a", 5)],
+            "src string, dst string, weight long",
+        )
+        local = {tuple(r) for r in pagerank(edges).collect()}
+        dist = {tuple(r) for r in
+                pagerank(edges, local_threshold=0).collect()}
+        assert local == dist
+
+    def test_empty_graph(self, spark):
+        from kgkit.operators.linkgraph import pagerank
+
+        edges = spark.createDataFrame(
+            [], "src string, dst string, weight long")
+        assert pagerank(edges).collect() == []
