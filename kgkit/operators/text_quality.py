@@ -118,6 +118,12 @@ def top_ngram_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     w = _words()
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    # single-pass fold over the sorted gram array: track the current
+    # run length and the best (count, gram) seen — one struct state per
+    # element, zero exchanges.  (A run-start/array_max formulation with
+    # nested HOFs measured identically once its intermediates were
+    # materialized, and is more fragile: multi-referenced nested HOF
+    # expressions re-evaluate per element in the interpreted path.)
     init = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"),
         F.lit(0).alias("bc"), F.lit("").alias("bg"),
