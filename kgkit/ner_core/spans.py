@@ -158,8 +158,36 @@ def restore_unknown_tokens(
         unknown_counter = 0
 
     # -- phase 2: reconstruct un-anchored tokens between known margins -----
+    # deliberate totality divergence from the reference: its search
+    # is bounded at 9 steps (api/model.py:1394-1415) and ASSERTS
+    # when >=10 consecutive tokens are un-anchored (e.g. ten OOV
+    # CJK words — hypothesis found it), which would kill a crawl
+    # job on one pathological page.  Scanning to the sequence ends
+    # only changes inputs where the reference RAISES, so byte
+    # parity on the reference's defined domain is untouched
+    # (tests/test_properties.py + the goldens pin both facts).
+    #
+    # Both scans are O(1) amortized, not O(run) (ADVICE r5: a long
+    # unresolved run — candidate=='' keeps margins None — made this
+    # phase O(run^2) on exactly the pathological pages the totality
+    # fix targets).  Margins AFTER i are phase-1 state (this loop only
+    # rewrites index i before moving right), so the nearest resolved
+    # right index is precomputed once; the nearest resolved LEFT index
+    # is tracked incrementally and sees this loop's own resolutions,
+    # exactly like the original backward scan did.
+    n_m = len(margins)
+    nearest_right_idx: List[Optional[int]] = [None] * (n_m + 1)
+    nr: Optional[int] = None
+    for j in range(n_m - 1, -1, -1):
+        nearest_right_idx[j + 1] = nr  # nearest resolved idx >= j + 1
+        if margins[j][0] is not None:
+            nr = j
+    last_left_idx: Optional[int] = None
+
     unresolved: List[Tuple[int, int]] = []
     for i, (token, tag) in enumerate(word_predictions):
+        if i > 0 and margins[i - 1][1] is not None:
+            last_left_idx = i - 1
         m_start, m_end = margins[i]
         if m_start is not None and m_end is not None:
             restored.append(
@@ -172,34 +200,17 @@ def restore_unknown_tokens(
             )
             continue
 
-        left_margin: Optional[int] = None
-        right_margin: Optional[int] = None
-        k_prev = k_next = None
-        # deliberate totality divergence from the reference: its search
-        # is bounded at 9 steps (api/model.py:1394-1415) and ASSERTS
-        # when >=10 consecutive tokens are un-anchored (e.g. ten OOV
-        # CJK words — hypothesis found it), which would kill a crawl
-        # job on one pathological page.  Scanning to the sequence ends
-        # only changes inputs where the reference RAISES, so byte
-        # parity on the reference's defined domain is untouched
-        # (tests/test_properties.py + the goldens pin both facts).
-        for k in range(1, len(margins) + 1):
-            k_prev = k
-            if i - k < 0:
-                left_margin = 0
-                break
-            if margins[i - k][1] is not None:
-                left_margin = margins[i - k][1]
-                break
-        for k in range(1, len(margins) + 1):
-            k_next = k
-            if i + k >= len(margins):
-                right_margin = len(input_text)
-                break
-            if margins[i + k][0] is not None:
-                right_margin = margins[i + k][0]
-                break
-        if left_margin is None or right_margin is None or k_prev is None or k_next is None:
+        if last_left_idx is None:
+            left_margin, k_prev = 0, i + 1
+        else:
+            left_margin = margins[last_left_idx][1]
+            k_prev = i - last_left_idx
+        ridx = nearest_right_idx[i + 1] if i + 1 <= n_m else None
+        if ridx is None:
+            right_margin, k_next = len(input_text), n_m - i
+        else:
+            right_margin, k_next = margins[ridx][0], ridx - i
+        if left_margin is None or right_margin is None:
             raise RuntimeError("could not locate margins around unknown token")
 
         candidate = input_text[left_margin:right_margin].strip()

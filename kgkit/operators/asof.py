@@ -127,8 +127,12 @@ def asof_join(
 def _apply_tolerance(
     matched: DataFrame, right_ts: str, tolerance_s: int
 ) -> DataFrame:
+    # the right payload's ts converts under ITS OWN struct-field dtype —
+    # relying on the unioned '_ts' dtype was only safe because
+    # mismatched ts types already fail at unionByName (ADVICE r5)
+    rts_type = matched.schema["_m"].dataType[right_ts].dataType
     gap = _epoch(F.col("_ts"), matched.schema["_ts"].dataType) - _epoch(
-        F.col(f"_m.{right_ts}"), matched.schema["_ts"].dataType
+        F.col(f"_m.{right_ts}"), rts_type
     )
     return matched.withColumn(
         "_m", F.when(gap <= F.lit(tolerance_s), F.col("_m"))
@@ -217,6 +221,7 @@ def interval_join(
     on: Optional[str] = None,
     bucket_s: int = 3600,
     how: str = "inner",
+    point_key: Optional[str] = None,
 ) -> DataFrame:
     """Range (interval-containment) join — the other temporal join
     Spark SQL only plans as a per-key loop: match each point row to
@@ -234,7 +239,15 @@ def interval_join(
 
     ``how='left'`` keeps unmatched points with NULL interval columns
     (the enrichment shape).  Interval columns come back as-is — rename
-    upstream on collision with point columns."""
+    upstream on collision with point columns.
+
+    ``point_key`` (left joins only): name a column that uniquely
+    identifies a point row (an event/doc id) and the unmatched-points
+    anti-join runs on that ONE narrow column instead of a distinct +
+    null-safe conjunction over EVERY point column — at corpus scale
+    the full-row distinct is a wide shuffle (ADVICE r5).  Correctness
+    does not depend on it; without a unique key the full-row path
+    stands (its cost is the price of not having one)."""
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
     p_ts_t = points.schema[point_ts].dataType
@@ -269,13 +282,21 @@ def interval_join(
         for c in intervals.columns
         if c != on
     ]
-    mkeys = matched.select(
-        *[F.col(c).alias(f"_m_{c}") for c in points.columns]
-    ).distinct()
-    anti_cond = None
-    for c in points.columns:
-        eq = F.col(c).eqNullSafe(F.col(f"_m_{c}"))
-        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    if point_key is not None:
+        if point_key not in points.columns:
+            raise ValueError(f"point_key {point_key!r} not a point column")
+        mkeys = matched.select(
+            F.col(point_key).alias("_m_k")
+        ).distinct()
+        anti_cond = F.col(point_key).eqNullSafe(F.col("_m_k"))
+    else:
+        mkeys = matched.select(
+            *[F.col(c).alias(f"_m_{c}") for c in points.columns]
+        ).distinct()
+        anti_cond = None
+        for c in points.columns:
+            eq = F.col(c).eqNullSafe(F.col(f"_m_{c}"))
+            anti_cond = eq if anti_cond is None else (anti_cond & eq)
     unmatched = pt.join(mkeys, anti_cond, "left_anti").select(
         *points.columns, F.col("_b"), *null_iv
     )

@@ -121,6 +121,15 @@ def match_patterns(
     localCheckpoint or a read of the durable store)."""
     if not patterns:
         raise ValueError("empty pattern list")
+    # '_const' prefixes the internal constant-filter columns dropped
+    # below — a user variable named '?_const…' would silently vanish
+    # from the result instead of binding (ADVICE r5)
+    for p in patterns:
+        for v in _vars(p):
+            if v.startswith("_const"):
+                raise ValueError(
+                    f"variable name {v!r} uses the reserved '_const' prefix"
+                )
     ordered = _order(patterns)
     out = _compile_one(triples, ordered[0], 0)
     for i, p in enumerate(ordered[1:], start=1):

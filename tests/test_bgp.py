@@ -207,3 +207,15 @@ class TestOverRealTriples:
         docs_q1 = {d for d, o in rows if o == "Q1"}
         want = {(d, o) for d, o in rows if d in docs_q1 and o != "Q1"}
         assert got == want and got
+
+
+class TestReservedPrefix:
+    def test_const_prefixed_variable_rejected(self, spark):
+        import pytest
+
+        from kgkit.operators.bgp import match_patterns
+
+        triples = spark.createDataFrame(
+            [("a", "p", "b")], "subj string, pred string, obj string")
+        with pytest.raises(ValueError, match="_const"):
+            match_patterns(triples, [("?_const0", "p", "?o")])

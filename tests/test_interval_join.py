@@ -179,3 +179,34 @@ class TestIntervalJoin:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan, plan
+
+
+class TestPointKeyAntiJoin:
+    def test_point_key_equals_full_row_path(self, spark):
+        from kgkit.operators.asof import interval_join
+
+        points = spark.createDataFrame(
+            [(1, 100, "a"), (2, 250, None), (3, 999, "c")],
+            "pid long, ts long, payload string",
+        )
+        intervals = spark.createDataFrame(
+            [(90, 120, "x"), (200, 300, "y")],
+            "start long, end long, label string",
+        )
+        full = {tuple(r) for r in interval_join(
+            points, intervals, how="left").collect()}
+        narrow = {tuple(r) for r in interval_join(
+            points, intervals, how="left", point_key="pid").collect()}
+        assert full == narrow
+        assert (3, 999, "c", None, None, None) in narrow
+
+    def test_point_key_must_exist(self, spark):
+        import pytest
+
+        from kgkit.operators.asof import interval_join
+
+        points = spark.createDataFrame([(1, 100)], "pid long, ts long")
+        intervals = spark.createDataFrame(
+            [(90, 120)], "start long, end long")
+        with pytest.raises(ValueError, match="point_key"):
+            interval_join(points, intervals, how="left", point_key="nope")
