@@ -287,6 +287,10 @@ class IncrementalKGStream:
         mentions = detect_mentions(pages, model=self.model).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        mentions.count()  # populate eagerly: the triples fan-out and
+        # the relation stream otherwise race the unpopulated cache on
+        # the batch's first action and re-run the per-batch UDF (the
+        # assemble_triples discipline); batch-sized, one extra job
         linked = link_mentions(mentions, self.embeddings)
         # persist=False: the mention stream both branches share is the
         # persisted frame above; per micro-batch the duplicated
