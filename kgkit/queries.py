@@ -42,6 +42,21 @@ def _documents(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _documents_wide(spark, sf_dir):
+    """documents widened to cluster width BEFORE a CPU-heavy JVM stage
+    (regex batteries, shingling, n-gram folds, line machinery): the
+    driver's single-row-group parquet scans as 1-2 partitions, so the
+    whole PRE-exchange map side of a query otherwise runs on 1-2 of
+    32 cores — measured at a 10x corpus smoke: repetition_ngrams x7.3
+    and boilerplate_lines x14 their 1x walls, both map-side-bound.
+    Same gate as the Arrow-UDF widen (`widen_for_udf`): a no-op at
+    real multi-row-group scan widths; the round-robin exchange ships
+    only the narrow projection the query selects."""
+    from kgkit.sources.pages import widen_for_udf
+
+    return widen_for_udf(_documents(spark, sf_dir))
+
+
 def _mentions_q(spark, sf_dir):
     m = detect_mentions(_pages(spark, sf_dir))
     return m.select(
@@ -219,7 +234,7 @@ def _pack_sequences_q(spark, sf_dir):
     sequence payload hashable cross-engine."""
     from kgkit.operators.packing import pack_sequences
 
-    return pack_sequences(_documents(spark, sf_dir), max_len=256,
+    return pack_sequences(_documents_wide(spark, sf_dir), max_len=256,
                           n_shards=64)
 
 
@@ -350,7 +365,7 @@ def _token_count_bpe_q(spark, sf_dir):
     GPT-2 pattern shared verbatim with the DuckDB oracle)."""
     from kgkit.operators.text_quality import bpe_token_stats
 
-    return bpe_token_stats(_documents(spark, sf_dir))
+    return bpe_token_stats(_documents_wide(spark, sf_dir))
 
 
 def _quality_gopher_q(spark, sf_dir):
@@ -359,7 +374,7 @@ def _quality_gopher_q(spark, sf_dir):
     projection, no shuffle."""
     from kgkit.operators.text_quality import gopher_quality
 
-    return gopher_quality(_documents(spark, sf_dir))
+    return gopher_quality(_documents_wide(spark, sf_dir))
 
 
 def _repetition_ngrams_q(spark, sf_dir):
@@ -367,7 +382,7 @@ def _repetition_ngrams_q(spark, sf_dir):
     of document characters it covers."""
     from kgkit.operators.text_quality import top_ngram_stats
 
-    return top_ngram_stats(_documents(spark, sf_dir), n=2)
+    return top_ngram_stats(_documents_wide(spark, sf_dir), n=2)
 
 
 def _pii_scrub_q(spark, sf_dir):
@@ -376,7 +391,7 @@ def _pii_scrub_q(spark, sf_dir):
     in the Spark plan and the DuckDB oracle)."""
     from kgkit.operators.text_quality import pii_scrub, plant_pii
 
-    return pii_scrub(plant_pii(_documents(spark, sf_dir)))
+    return pii_scrub(plant_pii(_documents_wide(spark, sf_dir)))
 
 
 def _host_stats_q(spark, sf_dir):
@@ -403,7 +418,7 @@ def _boilerplate_q(spark, sf_dir):
     )
 
     docs = with_template_lines(
-        _documents(spark, sf_dir).select("doc_id", "text")
+        _documents_wide(spark, sf_dir).select("doc_id", "text")
     )
     return remove_boilerplate_lines(docs, min_docs=5).select(
         "doc_id", "host", "n_kept", "n_removed",
@@ -696,7 +711,7 @@ def _url_canonical_dedup_q(spark, sf_dir):
     distinct per row, so count(*) == count(distinct))."""
     from kgkit.operators.urls import url_dedup_keys, with_messy_urls
 
-    d = with_messy_urls(_documents(spark, sf_dir).select("doc_id"))
+    d = with_messy_urls(_documents_wide(spark, sf_dir).select("doc_id"))
     return url_dedup_keys(d).select(
         "canonical_url",
         F.col("n_variants").cast("long").alias("n_variants"),
@@ -741,7 +756,7 @@ def _lm_ppl_buckets_q(spark, sf_dir):
         relational_bigram_lm,
     )
 
-    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    docs = _documents_wide(spark, sf_dir).select("doc_id", "text")
     uni, bi = relational_bigram_lm(docs.filter(F.col("doc_id") % 10 == 0))
     return ppl_tertiles(lm_score_exact(docs, uni, bi)).select(
         F.col("doc_id").cast("long"), "lm_log2ppl", "ppl_bucket"
@@ -833,7 +848,7 @@ def _anchor_aliases_q(spark, sf_dir):
         with_anchor_html,
     )
 
-    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    docs = _documents_wide(spark, sf_dir).select("doc_id", "text")
     return alias_counts(anchor_texts(with_anchor_html(docs))).select(
         "dst_url", "alias", F.col("n_refs").cast("long")
     )
@@ -880,7 +895,7 @@ def _quality_trained_q(spark, sf_dir):
         quality_clf_score,
     )
 
-    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    docs = _documents_wide(spark, sf_dir).select("doc_id", "text")
     out = quality_clf_score(docs, default_quality_clf())
     return out.select(
         F.col("doc_id").cast("long"),
