@@ -627,14 +627,24 @@ def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
     # re-injected as JVM LocalRelations, so every expression below
     # runs UNCHANGED (bit-identical doubles — no arithmetic moved to
     # python) over local tables: the whole fan-out collapses to two
-    # aggregation jobs plus local evaluation (guide §1.2).
+    # aggregation jobs plus local evaluation (guide §1.2).  The two
+    # statistic jobs are independent consumers of the populated cache,
+    # so they run CONCURRENTLY (guide §2.6 — the smaller job back-fills
+    # the larger one's straggler tail instead of waiting for it).
+    from concurrent.futures import ThreadPoolExecutor
+
     from kgkit.sources.localrel import values_df
 
     spark = df.sparkSession
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        conf_fut = pool.submit(lambda: token_confusion(df).collect())
+        counts_fut = pool.submit(
+            lambda: entity_class_counts(df, scheme).collect())
+        conf_rows = conf_fut.result()
+        counts_rows = counts_fut.result()
     conf = values_df(
         spark,
-        [(r["true"], r["pred"], r["n"])
-         for r in token_confusion(df).collect()],
+        [(r["true"], r["pred"], r["n"]) for r in conf_rows],
         "true string, pred string, n bigint",
     )
     n_pred = conf.groupBy(F.col("pred").alias("l")).agg(F.sum("n").alias("n_pred"))
@@ -710,7 +720,7 @@ def metrics_fanout_df(df: DataFrame, scheme: str = "bio") -> DataFrame:
     counts = values_df(
         spark,
         [(r["cls"], r["tp"], r["fp"], r["fn"], r["n_true"], r["n_pred"])
-         for r in entity_class_counts(df, scheme).collect()],
+         for r in counts_rows],
         "cls string, tp bigint, fp bigint, fn bigint, "
         "n_true bigint, n_pred bigint",
     )

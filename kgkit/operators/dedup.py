@@ -477,7 +477,7 @@ def incremental_near_dups(
 # ---------------------------------------------------------------------------
 
 def winnow_fingerprints(docs: DataFrame, k: int = 16, window: int = 8) -> DataFrame:
-    """(doc_id, fp, pos) winnowed character-k-gram fingerprints.
+    """(doc_id, fp, pos, gram) winnowed character-k-gram fingerprints.
 
     The winnowing guarantee: any substring shared EXACTLY between two
     documents of length >= t = window + k - 1 contributes at least one
@@ -489,9 +489,13 @@ def winnow_fingerprints(docs: DataFrame, k: int = 16, window: int = 8) -> DataFr
     Plan: pure column expressions, zero shuffle — per doc, the hash
     array is built by one transform over the char positions (md5
     7-hex-prefix int, the shingle fingerprint used by minhash), the
-    window minimum keeps (hash, pos) structs so the survivor's POSITION
-    survives for exact verification, and array_distinct collapses the
-    run-length repetition winnowing produces."""
+    window minimum keeps (hash, pos) structs, and array_distinct
+    collapses the run-length repetition winnowing produces.  Each
+    survivor carries its k-gram BYTES (`gram` = text[pos:pos+k], the
+    exact value the 28-bit fp hashes), so pair verification compares
+    grams on the candidate row instead of re-joining full document
+    text — k bytes of proxy per fingerprint rather than whole
+    payloads through the verify joins (guide §8)."""
     hs = F.expr(
         f"transform(sequence(0, greatest(length(text) - {k}, -1)), "
         f"i -> named_struct("
@@ -506,8 +510,13 @@ def winnow_fingerprints(docs: DataFrame, k: int = 16, window: int = 8) -> DataFr
         docs.select("doc_id", "text")
         .filter(F.length("text") >= k + window - 1)
         .withColumn("_hs", hs)
-        .select("doc_id", F.explode(wins).alias("w"))
-        .select("doc_id", F.col("w.fp").alias("fp"), F.col("w.pos").alias("pos"))
+        .select("doc_id", "text", F.explode(wins).alias("w"))
+        .select(
+            "doc_id",
+            F.col("w.fp").alias("fp"),
+            F.col("w.pos").alias("pos"),
+            F.expr(f"substring(text, w.pos + 1, {k})").alias("gram"),
+        )
     )
 
 
@@ -524,39 +533,38 @@ def substring_dup_pairs(
     Same scale skeleton as the MinHash band join: equi-join on the
     fingerprint (colliding docs only), the ``max_bucket`` guard drops
     degenerate fingerprints (a boilerplate k-gram present in every page
-    would square the join), and every surviving pair is VERIFIED by
-    comparing the actual k-gram bytes at the selected positions — a
-    28-bit hash collision cannot produce a false pair."""
+    would square the join), and verification is FUSED INTO THE JOIN
+    KEY: candidates equi-join on (fp, gram) where ``gram`` is the
+    actual k-gram bytes carried on the fingerprint row, so a 28-bit
+    hash collision never even materializes a join-output row and no
+    join back to document text is needed (guide §8: every shuffle but
+    the last moves a lightweight proxy — k bytes/row here, vs whole
+    documents through the former two verify joins).  The cap still
+    keys on fp alone (its observed bucket sizes keep their exact
+    values; gram equality implies fp equality, so (fp, gram) matches
+    == byte-verified fp matches)."""
     from pyspark import StorageLevel
 
-    # repartition by fp + persist BEFORE capping: the winnow HOFs are
-    # the hottest primitive of this operator, and the cached
-    # key-partitioning serves the cap's sizes aggregate AND both
-    # self-join sides with zero further exchanges (one shuffle of the
-    # fingerprint stream total; the old shape window-sorted the full
-    # rows by fp just to annotate bucket sizes)
+    # repartition by (fp, gram) + persist BEFORE capping: the winnow
+    # HOFs are the hottest primitive of this operator, and the cached
+    # key-partitioning is exactly the self-join's key — both join
+    # sides ride the cache with ZERO further exchanges (measured: the
+    # fp-only partitioning left the (fp, gram)-keyed SMJ re-shuffling
+    # both sides).  The cap's sizes aggregate re-keys to fp, but that
+    # is a partial-aggregated stream of narrow (fp, count) rows, not
+    # full fingerprint rows.
     fps = (
         winnow_fingerprints(docs, k, window)
-        .repartition("fp")
+        .repartition("fp", "gram")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     fps.count()  # populate eagerly (the fan-out discipline)
     capped = _cap_buckets(fps, max_bucket, keys=("fp",), id_col="doc_id")
-    a = capped.select(F.col("doc_id").alias("doc_a"), "fp",
-                      F.col("pos").alias("pos_a"))
-    b = capped.select(F.col("doc_id").alias("doc_b"), "fp",
-                      F.col("pos").alias("pos_b"))
-    cand = a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b"))
-    texts = docs.select("doc_id", "text")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "fp", "gram")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "fp", "gram")
     verified = (
-        cand.join(texts.select(F.col("doc_id").alias("doc_a"),
-                               F.col("text").alias("_ta")), "doc_a")
-        .join(texts.select(F.col("doc_id").alias("doc_b"),
-                           F.col("text").alias("_tb")), "doc_b")
-        .filter(
-            F.expr(f"substring(_ta, pos_a + 1, {k})")
-            == F.expr(f"substring(_tb, pos_b + 1, {k})")
-        )
+        a.join(b, ["fp", "gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
     )
     return (
         verified.select("doc_a", "doc_b", "fp").distinct()

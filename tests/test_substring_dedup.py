@@ -35,16 +35,19 @@ class TestWinnowFingerprints:
         from kgkit.operators.dedup import winnow_fingerprints
 
         df = _docs(spark, [(1, DOC_A), (2, DOC_C)])
-        got = {
-            (r["doc_id"], r["fp"], r["pos"])
-            for r in winnow_fingerprints(df).collect()
-        }
+        rows = winnow_fingerprints(df).collect()
+        got = {(r["doc_id"], r["fp"], r["pos"]) for r in rows}
         want = {
             (did, fp, pos)
             for did, text in [(1, DOC_A), (2, DOC_C)]
             for fp, pos in _py_winnow(text)
         }
         assert got == want
+        # the carried gram is exactly the hashed k-gram's bytes — the
+        # value verification compares instead of re-joining text
+        texts = {1: DOC_A, 2: DOC_C}
+        for r in rows:
+            assert r["gram"] == texts[r["doc_id"]][r["pos"]:r["pos"] + 16]
 
     def test_short_docs_dropped(self, spark):
         from kgkit.operators.dedup import winnow_fingerprints
